@@ -1,0 +1,18 @@
+"""Test harness: force an 8-device virtual CPU mesh (SURVEY.md §4).
+
+The reference tests distributed code by spawning local processes
+(edgelm/tests/distributed/utils.py:12); the TPU-native equivalent is XLA's
+virtual host devices, so every sharding/collective test runs single-process.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault(
+    "XLA_FLAGS",
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
+)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")

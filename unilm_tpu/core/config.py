@@ -1,0 +1,125 @@
+"""Unified transformer configuration.
+
+Capability-equivalent of torchscale's EncoderConfig/DecoderConfig
+(reference: kosmos-2/torchscale/torchscale/architecture/config.py:19-206)
+re-designed as a single frozen dataclass. The reference keeps two mutable
+kwargs-objects with an `override(args)` merge; here one typed config drives
+both `Encoder` and `Decoder`, and per-model presets live in
+`unilm_tpu/models/*` (the `@register_model_architecture` pattern,
+cf. kosmos-2/unilm/models/unigpt.py:478-525).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformerConfig:
+    # --- dimensions -------------------------------------------------------
+    vocab_size: int = 0
+    embed_dim: int = 768
+    ffn_dim: int = 3072
+    num_layers: int = 12
+    num_heads: int = 12
+    head_dim: Optional[int] = None  # default embed_dim // num_heads
+
+    # --- regularization ---------------------------------------------------
+    dropout: float = 0.0
+    attention_dropout: float = 0.0
+    activation_dropout: float = 0.0
+    drop_path_rate: float = 0.0
+
+    # --- architecture switches (Magneto core) ------------------------------
+    activation: str = "gelu"  # gelu | relu | swiglu
+    normalize_before: bool = True  # pre-LN (False = post-LN)
+    deepnorm: bool = False  # DeepNorm residual scaling + init down-scale
+    subln: bool = False  # Magneto sub-LayerNorm + init up-scale
+    bert_init: bool = False
+    multiway: bool = False  # modality-split FFN/LN (BEiT-3)
+    layernorm_eps: float = 1e-5
+
+    # --- positional schemes -------------------------------------------------
+    rel_pos_buckets: int = 0  # T5 bucketed relative bias (0 = off)
+    max_rel_pos: int = 0
+    xpos_rel_pos: bool = False  # xPos/SoPE rotary
+    xpos_scale_base: int = 512
+    scale_length: int = 2048  # length-extrapolation attention rescale
+
+    # --- embedding front-end -------------------------------------------------
+    max_positions: int = 1024
+    learned_pos: bool = True
+    no_scale_embedding: bool = True  # if False multiply embed by sqrt(dim)
+    layernorm_embedding: bool = False
+    share_input_output_embed: bool = False
+    no_output_layer: bool = False
+
+    # --- MoE (X-MoE equivalent) ----------------------------------------------
+    moe_freq: int = 0  # every Nth layer is MoE (0 = dense)
+    moe_experts: int = 0
+    moe_top: int = 2  # 1 = Top1Gate, 2 = Top2Gate
+    moe_capacity_factor: float = 1.0
+    moe_eval_capacity_factor: float = 2.0
+    moe_gate_dim: int = 0  # xMoE low-dim routing projection (0 = off)
+    moe_second_expert_policy: str = "random"
+
+    # --- attention implementation ----------------------------------------------
+    use_flash: bool = True  # Pallas flash attention when on TPU
+    window_size: int = 0  # sliding-window attention (0 = full)
+    flash_block_q: int = 128
+    flash_block_k: int = 128
+
+    # --- compute dtypes ----------------------------------------------------------
+    dtype: Any = jnp.float32  # activation dtype (bf16 for perf)
+    param_dtype: Any = jnp.float32
+
+    # --- encoder-decoder ---------------------------------------------------------
+    is_encoder_decoder: bool = False
+
+    def __post_init__(self):
+        if self.deepnorm and self.subln:
+            raise ValueError("deepnorm and subln are mutually exclusive")
+        if self.deepnorm and self.normalize_before:
+            # DeepNorm is a post-LN scheme (config.py:183-189 in reference).
+            object.__setattr__(self, "normalize_before", False)
+        if self.subln and not self.normalize_before:
+            object.__setattr__(self, "normalize_before", True)
+        if self.head_dim is None:
+            object.__setattr__(self, "head_dim", self.embed_dim // self.num_heads)
+
+    # convenience -----------------------------------------------------------
+    def replace(self, **kw) -> "TransformerConfig":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def deepnorm_alpha(self) -> float:
+        """Residual scale for DeepNorm (decoder.py:301-313 in reference)."""
+        if not self.deepnorm:
+            return 1.0
+        if self.is_encoder_decoder:
+            # decoder alpha in enc-dec setting (decoder.py:90); the encoder side
+            # uses 0.81*(N^4*M)^(1/16) (encoder.py:77-83) — handled by Encoder.
+            return float(3 * self.num_layers) ** 0.25
+        return float(2 * self.num_layers) ** 0.25
+
+    @property
+    def deepnorm_init_div(self) -> float:
+        if not self.deepnorm:
+            return 1.0
+        if self.is_encoder_decoder:
+            return float(12 * self.num_layers) ** 0.25
+        return float(8 * self.num_layers) ** 0.25
+
+    @property
+    def subln_init_mul(self) -> float:
+        """Init up-scale for sub-LN (decoder.py:315-329 in reference)."""
+        if not self.subln:
+            return 1.0
+        import math
+
+        if self.is_encoder_decoder:
+            return math.sqrt(math.log(3 * self.num_layers))
+        return math.sqrt(math.log(2 * self.num_layers))

@@ -1,0 +1,127 @@
+"""Shared building blocks: FFN, DropPath, LayerScale, init scaling.
+
+Capability-equivalents of:
+- kosmos-2/torchscale/torchscale/component/feedforward_network.py (FFN + subln)
+- kosmos-2/torchscale/torchscale/component/droppath.py (stochastic depth)
+- beit/modeling_finetune.py:169-181 (LayerScale gamma)
+- torchscale deepnorm/subln init scaling (architecture/decoder.py:301-329)
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from unilm_tpu.core.config import TransformerConfig
+
+
+def scaled_init(base: Callable, scale: float) -> Callable:
+    """Wrap an initializer, multiplying samples by `scale`.
+
+    Implements DeepNorm's init down-scale (divide by (8L)^1/4 → scale=1/s) and
+    sub-LN's up-scale (multiply by sqrt(log 2L)) applied in the reference as a
+    post-hoc parameter walk (decoder.py:301-329); here it is fused into init.
+    """
+    if scale == 1.0:
+        return base
+
+    def init(key, shape, dtype=jnp.float32):
+        return base(key, shape, dtype) * scale
+
+    return init
+
+
+def default_kernel_init():
+    return nn.initializers.xavier_uniform()
+
+
+class DropPath(nn.Module):
+    """Stochastic depth per sample (torchscale component/droppath.py)."""
+
+    rate: float = 0.0
+    deterministic: Optional[bool] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: Optional[bool] = None) -> jax.Array:
+        deterministic = nn.merge_param("deterministic", self.deterministic, deterministic)
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class LayerScale(nn.Module):
+    """Learned per-channel residual scale gamma (beit/modeling_finetune.py:169)."""
+
+    dim: int
+    init_value: float = 1e-5
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        gamma = self.param(
+            "gamma",
+            nn.initializers.constant(self.init_value),
+            (self.dim,),
+            self.param_dtype,
+        )
+        return x * gamma.astype(x.dtype)
+
+
+def get_activation(name: str) -> Callable:
+    return {
+        "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+        "gelu_tanh": lambda x: jax.nn.gelu(x, approximate=True),
+        "relu": jax.nn.relu,
+        "silu": jax.nn.silu,
+        "swish": jax.nn.silu,
+    }[name]
+
+
+class FeedForward(nn.Module):
+    """fc1 -> act -> (inner LN if subln) -> fc2, or fused SwiGLU.
+
+    Equivalent of torchscale FeedForwardNetwork
+    (component/feedforward_network.py:93-131). `init_scale` carries the
+    deepnorm/subln weight scaling for fc1/fc2.
+    """
+
+    cfg: TransformerConfig
+    init_scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        cfg = self.cfg
+        kinit = scaled_init(default_kernel_init(), self.init_scale)
+        dense = lambda feats, name: nn.Dense(
+            feats,
+            kernel_init=kinit,
+            dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype,
+            name=name,
+        )
+        if cfg.activation == "swiglu":
+            # SwiGLU: (silu(xW1) * xW3) W2 — fused by XLA / Pallas swiglu kernel.
+            g = dense(cfg.ffn_dim, "fc1")(x)
+            u = dense(cfg.ffn_dim, "fc3")(x)
+            h = jax.nn.silu(g) * u
+        else:
+            h = dense(cfg.ffn_dim, "fc1")(x)
+            h = get_activation(cfg.activation)(h.astype(jnp.float32)).astype(cfg.dtype)
+        h = nn.Dropout(cfg.activation_dropout)(h, deterministic=deterministic)
+        if cfg.subln:
+            h = nn.LayerNorm(
+                epsilon=cfg.layernorm_eps,
+                dtype=cfg.dtype,
+                param_dtype=cfg.param_dtype,
+                name="ffn_layernorm",
+            )(h)
+        h = dense(cfg.embed_dim, "fc2")(h)
+        h = nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
+        return h

@@ -1,0 +1,329 @@
+"""Encoder/Decoder stacks — the Magneto core.
+
+Capability-equivalent of torchscale architecture/{encoder,decoder}.py:
+pre/post-LN, DeepNorm residual alpha, sub-LN, DropPath, per-layer MoE every
+`moe_freq`, T5 relative bias, xPos rotary, encoder-decoder cross attention,
+incremental decoding. Batch-major, static shapes, jit/pjit-friendly.
+
+Models (L4) compose these stacks with their own embedding front-ends and
+attention-bias providers (BEiT 2D table, LayoutLMv3 1D+2D buckets).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, List, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from unilm_tpu.core.attention import MultiheadAttention
+from unilm_tpu.core.config import TransformerConfig
+from unilm_tpu.core.layers import DropPath, FeedForward, LayerScale
+from unilm_tpu.core.positional import RelativePositionBias
+
+
+def _ln(cfg: TransformerConfig, name: str) -> nn.LayerNorm:
+    return nn.LayerNorm(
+        epsilon=cfg.layernorm_eps, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name=name
+    )
+
+
+def _ffn_init_scale(cfg: TransformerConfig) -> float:
+    return (1.0 / cfg.deepnorm_init_div) * cfg.subln_init_mul
+
+
+def _build_ffn(cfg: TransformerConfig, layer_idx: int, name: str = "ffn"):
+    """Dense FFN or MoE depending on moe_freq (decoder.py:73-87)."""
+    is_moe = cfg.moe_freq > 0 and (layer_idx + 1) % cfg.moe_freq == 0
+    if is_moe:
+        from unilm_tpu.core.moe import MoELayer
+
+        return MoELayer(cfg, name="moe"), True
+    return FeedForward(cfg, init_scale=_ffn_init_scale(cfg), name=name), False
+
+
+class EncoderLayer(nn.Module):
+    """torchscale EncoderLayer (encoder.py:27-153) + BEiT LayerScale option."""
+
+    cfg: TransformerConfig
+    layer_idx: int = 0
+    drop_path: float = 0.0
+    layer_scale_init: float = 0.0  # BEiT gamma (0 = off)
+    alpha: float = 1.0  # deepnorm residual scale
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        *,
+        key_padding_mask: Optional[jax.Array] = None,
+        attn_bias: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        cfg = self.cfg
+        dp = DropPath(self.drop_path, name="drop_path") if self.drop_path > 0 else None
+        ls = (
+            (lambda n: LayerScale(cfg.embed_dim, self.layer_scale_init, name=n))
+            if self.layer_scale_init > 0
+            else None
+        )
+
+        # --- self attention -------------------------------------------------
+        residual = x
+        if cfg.normalize_before:
+            x = _ln(cfg, "self_attn_layer_norm")(x)
+        x = MultiheadAttention(cfg, self_attention=True, name="self_attn")(
+            x,
+            key_padding_mask=key_padding_mask,
+            attn_bias=attn_bias,
+            deterministic=deterministic,
+        )
+        x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
+        if ls:
+            x = ls("gamma_1")(x)
+        if dp:
+            x = dp(x, deterministic=deterministic)
+        x = residual * self.alpha + x
+        if not cfg.normalize_before:
+            x = _ln(cfg, "self_attn_layer_norm")(x)
+
+        # --- ffn / moe --------------------------------------------------------
+        ffn, is_moe = _build_ffn(cfg, self.layer_idx)
+        residual = x
+        if cfg.normalize_before:
+            x = _ln(cfg, "final_layer_norm")(x)
+        x = ffn(x, deterministic=deterministic)
+        if isinstance(x, tuple):  # MoE returns (out, aux_loss)
+            x, aux = x
+            self.sow("losses", "moe_aux", aux)
+        if ls:
+            x = ls("gamma_2")(x)
+        if dp:
+            x = dp(x, deterministic=deterministic)
+        x = residual * self.alpha + x
+        if not cfg.normalize_before:
+            x = _ln(cfg, "final_layer_norm")(x)
+        return x
+
+
+class DecoderLayer(nn.Module):
+    """torchscale DecoderLayer (decoder.py:22-208)."""
+
+    cfg: TransformerConfig
+    layer_idx: int = 0
+    drop_path: float = 0.0
+    has_cross_attention: bool = False
+    alpha: float = 1.0
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        encoder_out: Optional[jax.Array] = None,
+        *,
+        self_key_padding_mask: Optional[jax.Array] = None,
+        encoder_padding_mask: Optional[jax.Array] = None,
+        self_attn_bias: Optional[jax.Array] = None,
+        cross_attn_bias: Optional[jax.Array] = None,
+        causal: bool = True,
+        mode: str = "train",
+        cache_size: int = 0,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        cfg = self.cfg
+        dp = DropPath(self.drop_path, name="drop_path") if self.drop_path > 0 else None
+
+        # --- causal self attention ------------------------------------------
+        residual = x
+        if cfg.normalize_before:
+            x = _ln(cfg, "self_attn_layer_norm")(x)
+        x = MultiheadAttention(
+            cfg, self_attention=True, use_xpos=cfg.xpos_rel_pos, name="self_attn"
+        )(
+            x,
+            key_padding_mask=self_key_padding_mask,
+            attn_bias=self_attn_bias,
+            causal=causal,
+            mode=mode,
+            cache_size=cache_size,
+            deterministic=deterministic,
+        )
+        x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
+        if dp:
+            x = dp(x, deterministic=deterministic)
+        x = residual * self.alpha + x
+        if not cfg.normalize_before:
+            x = _ln(cfg, "self_attn_layer_norm")(x)
+
+        # --- cross attention ---------------------------------------------------
+        if self.has_cross_attention:
+            residual = x
+            if cfg.normalize_before:
+                x = _ln(cfg, "encoder_attn_layer_norm")(x)
+            x = MultiheadAttention(
+                cfg, self_attention=False, use_xpos=cfg.xpos_rel_pos, name="encoder_attn"
+            )(
+                x,
+                key=encoder_out,
+                key_padding_mask=encoder_padding_mask,
+                attn_bias=cross_attn_bias,
+                mode=mode,
+                deterministic=deterministic,
+            )
+            x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
+            if dp:
+                x = dp(x, deterministic=deterministic)
+            x = residual * self.alpha + x
+            if not cfg.normalize_before:
+                x = _ln(cfg, "encoder_attn_layer_norm")(x)
+
+        # --- ffn / moe -----------------------------------------------------------
+        ffn, is_moe = _build_ffn(cfg, self.layer_idx)
+        residual = x
+        if cfg.normalize_before:
+            x = _ln(cfg, "final_layer_norm")(x)
+        x = ffn(x, deterministic=deterministic)
+        if isinstance(x, tuple):
+            x, aux = x
+            self.sow("losses", "moe_aux", aux)
+        if dp:
+            x = dp(x, deterministic=deterministic)
+        x = residual * self.alpha + x
+        if not cfg.normalize_before:
+            x = _ln(cfg, "final_layer_norm")(x)
+        return x
+
+
+class Encoder(nn.Module):
+    """Bidirectional stack over pre-embedded inputs.
+
+    Models own their embedding front-ends; this is the layer stack + final LN
+    (torchscale Encoder, encoder.py:156-382). `attn_bias` may be one array
+    shared by all layers or a per-layer sequence (BEiT per-block tables)."""
+
+    cfg: TransformerConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,  # [B, T, E] already embedded
+        *,
+        key_padding_mask: Optional[jax.Array] = None,
+        attn_bias: Any = None,  # array | sequence of arrays | callable(i)
+        layer_scale_init: float = 0.0,
+        deterministic: bool = True,
+        return_all_hiddens: bool = False,
+    ):
+        cfg = self.cfg
+        alpha = cfg.deepnorm_alpha if cfg.deepnorm else 1.0
+        if cfg.rel_pos_buckets > 0 and attn_bias is None:
+            rel = RelativePositionBias(
+                num_buckets=cfg.rel_pos_buckets,
+                max_distance=cfg.max_rel_pos,
+                num_heads=cfg.num_heads,
+                bidirectional=True,
+                dtype=cfg.dtype,
+                name="relative_position",
+            )
+            attn_bias = rel(x.shape[1], x.shape[1])
+
+        dpr = [
+            float(r) for r in jnp.linspace(0, cfg.drop_path_rate, cfg.num_layers)
+        ]
+        hiddens = []
+        for i in range(cfg.num_layers):
+            if callable(attn_bias):
+                bias_i = attn_bias(i)
+            elif isinstance(attn_bias, (list, tuple)):
+                bias_i = attn_bias[i]
+            else:
+                bias_i = attn_bias
+            x = EncoderLayer(
+                cfg,
+                layer_idx=i,
+                drop_path=dpr[i],
+                layer_scale_init=layer_scale_init,
+                alpha=alpha,
+                name=f"layers_{i}",
+            )(
+                x,
+                key_padding_mask=key_padding_mask,
+                attn_bias=bias_i,
+                deterministic=deterministic,
+            )
+            if return_all_hiddens:
+                hiddens.append(x)
+        if cfg.normalize_before:
+            x = _ln(cfg, "layer_norm")(x)
+        if return_all_hiddens:
+            return x, hiddens
+        return x
+
+
+class Decoder(nn.Module):
+    """Causal / encoder-decoder stack over pre-embedded inputs.
+
+    torchscale Decoder (decoder.py:211-499) minus the embedding front-end
+    (owned by models) plus static-shape incremental decoding."""
+
+    cfg: TransformerConfig
+    has_cross_attention: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,  # [B, T, E] already embedded
+        encoder_out: Optional[jax.Array] = None,
+        *,
+        self_key_padding_mask: Optional[jax.Array] = None,
+        encoder_padding_mask: Optional[jax.Array] = None,
+        causal: bool = True,
+        mode: str = "train",
+        cache_size: int = 0,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        cfg = self.cfg
+        alpha = cfg.deepnorm_alpha if cfg.deepnorm else 1.0
+
+        self_attn_bias = None
+        if cfg.rel_pos_buckets > 0:
+            rel = RelativePositionBias(
+                num_buckets=cfg.rel_pos_buckets,
+                max_distance=cfg.max_rel_pos,
+                num_heads=cfg.num_heads,
+                bidirectional=False,
+                dtype=cfg.dtype,
+                name="self_attn_relative_position",
+            )
+            if mode == "train":
+                self_attn_bias = rel(x.shape[1], x.shape[1])
+            else:
+                # decode: bias rows for current steps against full cache
+                idx = self.variable("cache", "step", lambda: jnp.zeros((), jnp.int32))
+                self_attn_bias = rel(x.shape[1], cache_size, step=idx.value)
+                idx.value = idx.value + x.shape[1]
+
+        dpr = [float(r) for r in jnp.linspace(0, cfg.drop_path_rate, cfg.num_layers)]
+        for i in range(cfg.num_layers):
+            x = DecoderLayer(
+                cfg,
+                layer_idx=i,
+                drop_path=dpr[i],
+                has_cross_attention=self.has_cross_attention,
+                alpha=alpha,
+                name=f"layers_{i}",
+            )(
+                x,
+                encoder_out,
+                self_key_padding_mask=self_key_padding_mask,
+                encoder_padding_mask=encoder_padding_mask,
+                self_attn_bias=self_attn_bias,
+                causal=causal,
+                mode=mode,
+                cache_size=cache_size,
+                deterministic=deterministic,
+            )
+        if cfg.normalize_before:
+            x = _ln(cfg, "layer_norm")(x)
+        return x

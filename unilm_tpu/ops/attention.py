@@ -1,0 +1,135 @@
+"""Attention ops: XLA reference implementation + dispatch to Pallas flash.
+
+Reference semantics: torchscale MultiheadAttention
+(kosmos-2/torchscale/torchscale/component/multihead_attention.py:148-176):
+scaled QK^T, additive attn_mask/bias, key-padding mask to -inf, fp32 softmax,
+then PV. Batch-major [B, T, H, D] throughout (vs the reference's [T, B*H, D]).
+
+The dispatcher keeps mask structure symbolic (causal flag, window, kv_len,
+key-padding) so the Pallas kernel can apply it block-wise without ever
+materializing an [T, S] mask in HBM; only the XLA fallback materializes it.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30  # large-negative instead of -inf: keeps softmax NaN-free
+
+
+def make_causal_mask(q_positions: jax.Array, k_positions: jax.Array) -> jax.Array:
+    """Bool [T, S]; True = may attend (k_pos <= q_pos)."""
+    return k_positions[None, :] <= q_positions[:, None]
+
+
+def make_window_mask(q_positions: jax.Array, k_positions: jax.Array, window: int) -> jax.Array:
+    """Sliding-window band (cf. YOCO sliding_window_attention.py): 0 <= q-k < window."""
+    diff = q_positions[:, None] - k_positions[None, :]
+    return (diff < window) & (diff >= 0)
+
+
+def dot_product_attention(
+    q: jax.Array,  # [B, T, H, D]
+    k: jax.Array,  # [B, S, H, D]
+    v: jax.Array,  # [B, S, H, D]
+    *,
+    bias: Optional[jax.Array] = None,  # additive [B|1, H|1, T, S]
+    mask: Optional[jax.Array] = None,  # bool, broadcastable to [B, H, T, S]
+    scale: Optional[float] = None,  # default D**-0.5
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+) -> jax.Array:
+    """XLA reference attention with fp32 softmax. Returns [B, T, H, D]."""
+    out_dtype = q.dtype
+    depth = q.shape[-1]
+    if scale is None:
+        scale = depth**-0.5
+    logits = jnp.einsum("bthd,bshd->bhts", q * scale, k, preferred_element_type=jnp.float32)
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    if mask is not None:
+        logits = jnp.where(mask, logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    if dropout_rate > 0.0 and not deterministic:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = probs * keep / (1.0 - dropout_rate)
+    probs = probs.astype(out_dtype)
+    return jnp.einsum("bhts,bshd->bthd", probs, v, preferred_element_type=jnp.float32).astype(
+        out_dtype
+    )
+
+
+def attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    bias: Optional[jax.Array] = None,  # additive [B|1, H|1, T, S]
+    key_padding_mask: Optional[jax.Array] = None,  # bool [B, S], True = valid
+    scale: Optional[float] = None,
+    causal: bool = False,
+    q_offset: Optional[jax.Array] = None,  # scalar position of q[0]
+    kv_len: Optional[jax.Array] = None,  # valid prefix length of k/v (decode)
+    window: int = 0,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+    use_flash: bool = True,
+    flash_block_q: int = 128,
+    flash_block_k: int = 128,
+) -> jax.Array:
+    """Dispatching attention front-end. Returns [B, T, H, D]."""
+    B, T, H, D = q.shape
+    S = k.shape[1]
+
+    if use_flash and dropout_rate == 0.0 and T > 8:
+        from unilm_tpu.ops import flash_attention as fa
+
+        if fa.is_available() and fa.supports(q, k, bias, window):
+            return fa.flash_attention(
+                q,
+                k,
+                v,
+                bias=bias,
+                key_padding_mask=key_padding_mask,
+                scale=scale,
+                causal=causal,
+                q_offset=q_offset,
+                kv_len=kv_len,
+                window=window,
+                block_q=flash_block_q,
+                block_k=flash_block_k,
+            )
+
+    # ---- XLA fallback: materialize the combined mask -----------------------
+    q_pos = jnp.arange(T) + (q_offset if q_offset is not None else 0)
+    k_pos = jnp.arange(S)
+    mask = None
+
+    def _and(a, b):
+        return b if a is None else a & b
+
+    if key_padding_mask is not None:
+        mask = _and(mask, key_padding_mask[:, None, None, :])
+    if causal:
+        mask = _and(mask, make_causal_mask(q_pos, k_pos)[None, None])
+    if window and window > 0:
+        mask = _and(mask, make_window_mask(q_pos, k_pos, window)[None, None])
+    if kv_len is not None:
+        mask = _and(mask, (k_pos < kv_len)[None, None, None, :])
+
+    return dot_product_attention(
+        q,
+        k,
+        v,
+        bias=bias,
+        mask=mask,
+        scale=scale,
+        dropout_rate=dropout_rate,
+        dropout_rng=dropout_rng,
+        deterministic=deterministic,
+    )
