@@ -1,0 +1,134 @@
+"""Pallas flash attention vs XLA reference (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unilm_tpu.ops.attention import dot_product_attention, make_causal_mask, make_window_mask
+from unilm_tpu.ops import flash_attention as fa
+
+B, H, D = 2, 4, 64
+
+
+def rand(key, *shape):
+    return jax.random.normal(jax.random.PRNGKey(key), shape, jnp.float32) * 0.5
+
+
+def reference(q, k, v, bias=None, kpm=None, causal=False, q_offset=0, kv_len=None, window=0):
+    T, S = q.shape[1], k.shape[1]
+    q_pos = jnp.arange(T) + q_offset
+    k_pos = jnp.arange(S)
+    mask = None
+
+    def _and(a, b):
+        return b if a is None else a & b
+
+    if kpm is not None:
+        mask = _and(mask, kpm[:, None, None, :])
+    if causal:
+        mask = _and(mask, make_causal_mask(q_pos, k_pos)[None, None])
+    if window:
+        mask = _and(mask, make_window_mask(q_pos, k_pos, window)[None, None])
+    if kv_len is not None:
+        mask = _and(mask, (k_pos < kv_len)[None, None, None, :])
+    return dot_product_attention(q, k, v, bias=bias, mask=mask)
+
+
+@pytest.mark.parametrize("T,S", [(128, 128), (197, 197), (64, 256)])
+@pytest.mark.parametrize("causal", [False, True])
+def test_basic_and_causal(T, S, causal):
+    if causal and T != S:
+        pytest.skip("causal needs square here")
+    q, k, v = rand(0, B, T, H, D), rand(1, B, S, H, D), rand(2, B, S, H, D)
+    out = fa.flash_attention(q, k, v, causal=causal, interpret=True, block_q=64, block_k=64)
+    ref = reference(q, k, v, causal=causal)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("bias_b,bias_h", [(1, 1), (1, H), (B, H)])
+def test_additive_bias(bias_b, bias_h):
+    T = S = 96
+    q, k, v = rand(0, B, T, H, D), rand(1, B, S, H, D), rand(2, B, S, H, D)
+    bias = rand(3, bias_b, bias_h, T, S) * 2.0
+    out = fa.flash_attention(q, k, v, bias=bias, interpret=True, block_q=32, block_k=32)
+    ref = reference(q, k, v, bias=bias)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_key_padding_mask():
+    T = S = 80
+    q, k, v = rand(0, B, T, H, D), rand(1, B, S, H, D), rand(2, B, S, H, D)
+    kpm = jnp.ones((B, S), bool).at[0, 50:].set(False).at[1, 20:40].set(False)
+    out = fa.flash_attention(q, k, v, key_padding_mask=kpm, interpret=True, block_q=32, block_k=32)
+    ref = reference(q, k, v, kpm=kpm)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_kv_len_and_offset_prefill():
+    """Prefill semantics: cache of size S, valid prefix kv_len, q at offset."""
+    S, T = 256, 64
+    q = rand(0, B, T, H, D)
+    k, v = rand(1, B, S, H, D), rand(2, B, S, H, D)
+    kv_len = jnp.asarray(160, jnp.int32)
+    q_offset = jnp.asarray(96, jnp.int32)
+    out = fa.flash_attention(
+        q, k, v, causal=True, q_offset=q_offset, kv_len=kv_len,
+        interpret=True, block_q=64, block_k=64,
+    )
+    ref = reference(q, k, v, causal=True, q_offset=96, kv_len=160)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_sliding_window():
+    T = S = 256
+    q, k, v = rand(0, B, T, H, D), rand(1, B, S, H, D), rand(2, B, S, H, D)
+    out = fa.flash_attention(
+        q, k, v, causal=True, window=64, interpret=True, block_q=64, block_k=64
+    )
+    ref = reference(q, k, v, causal=True, window=64)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_window_first_block_fully_masked_rows():
+    """Regression: rows whose first running k-block is fully masked."""
+    T = S = 128
+    q, k, v = rand(0, 1, T, H, D), rand(1, 1, S, H, D), rand(2, 1, S, H, D)
+    out = fa.flash_attention(
+        q, k, v, causal=True, window=16, interpret=True, block_q=128, block_k=128
+    )
+    ref = reference(q, k, v, causal=True, window=16)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_grad_matches_reference():
+    T = S = 64
+    q, k, v = rand(0, B, T, H, D), rand(1, B, S, H, D), rand(2, B, S, H, D)
+    bias = rand(3, 1, H, T, S)
+
+    def loss_flash(q, k, v, bias):
+        return jnp.sum(
+            fa.flash_attention(q, k, v, bias=bias, causal=True, interpret=True,
+                               block_q=32, block_k=32) ** 2
+        )
+
+    def loss_ref(q, k, v, bias):
+        return jnp.sum(reference(q, k, v, bias=bias, causal=True) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(a, b, atol=5e-4, rtol=1e-3)
+
+
+def test_bf16():
+    T = S = 128
+    q = rand(0, B, T, H, D).astype(jnp.bfloat16)
+    k = rand(1, B, S, H, D).astype(jnp.bfloat16)
+    v = rand(2, B, S, H, D).astype(jnp.bfloat16)
+    out = fa.flash_attention(q, k, v, causal=True, interpret=True)
+    ref = reference(q, k, v, causal=True)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        out.astype(jnp.float32), ref.astype(jnp.float32), atol=3e-2, rtol=3e-2
+    )

@@ -69,8 +69,8 @@ class TransformerConfig:
     # --- attention implementation ----------------------------------------------
     use_flash: bool = True  # Pallas flash attention when on TPU
     window_size: int = 0  # sliding-window attention (0 = full)
-    flash_block_q: int = 128
-    flash_block_k: int = 128
+    flash_block_q: int = 512
+    flash_block_k: int = 1024
 
     # --- compute dtypes ----------------------------------------------------------
     dtype: Any = jnp.float32  # activation dtype (bf16 for perf)

@@ -203,6 +203,7 @@ class Encoder(nn.Module):
     shared by all layers or a per-layer sequence (BEiT per-block tables)."""
 
     cfg: TransformerConfig
+    final_layer_norm: bool = True  # BEiT mean-pooling replaces it with fc_norm
 
     @nn.compact
     def __call__(
@@ -254,7 +255,7 @@ class Encoder(nn.Module):
             )
             if return_all_hiddens:
                 hiddens.append(x)
-        if cfg.normalize_before:
+        if cfg.normalize_before and self.final_layer_norm:
             x = _ln(cfg, "layer_norm")(x)
         if return_all_hiddens:
             return x, hiddens

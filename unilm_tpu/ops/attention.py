@@ -79,8 +79,8 @@ def attention(
     dropout_rng: Optional[jax.Array] = None,
     deterministic: bool = True,
     use_flash: bool = True,
-    flash_block_q: int = 128,
-    flash_block_k: int = 128,
+    flash_block_q: int = 512,
+    flash_block_k: int = 1024,
 ) -> jax.Array:
     """Dispatching attention front-end. Returns [B, T, H, D]."""
     B, T, H, D = q.shape

@@ -1,25 +1,357 @@
-"""Pallas TPU flash attention (placeholder — kernel lands next milestone).
+"""Pallas TPU flash attention — the centerpiece kernel (SURVEY.md §2.8).
 
-Will replace the reference's xformers memory_efficient_attention
-(torchscale multihead_attention.py:141-144) and flash-attn sliding window
-(YOCO sliding_window_attention.py:65) with a single Pallas kernel supporting
-causal, windowed, kv_len-masked and additive-bias attention.
+Replaces the reference's external CUDA attention kernels:
+- xformers memory_efficient_attention (torchscale multihead_attention.py:141-144)
+- flash-attn sliding window (YOCO sliding_window_attention.py:65)
+- plain bmm+softmax hot loops of BEiT/LayoutLMv3 (modeling_finetune.py:120-139)
+
+One kernel covers: causal (with query offset for prefill), sliding window,
+valid-kv-prefix masking (static-shape decode caches), per-key padding masks,
+and an additive relative-position bias with broadcastable batch/head dims
+(BEiT 2D tables, LayoutLMv3 1D+2D buckets, T5 buckets) — applied block-wise
+so no [T, S] mask is ever materialized in HBM.
+
+Online-softmax accumulation over k-blocks (grid dim 3, 'arbitrary'
+semantics), fp32 accumulators in VMEM, MXU matmuls via jnp.dot with
+preferred_element_type=float32. Fully-masked causal k-blocks are skipped.
+
+Backward: custom_vjp that recomputes attention with the XLA reference —
+memory profile equal to the reference's non-flash backward; a Pallas
+backward kernel is a later optimization.
 """
 
 from __future__ import annotations
 
+import functools
+import os
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
 
 
 def is_available() -> bool:
-    return False  # flips to TPU-platform check once the kernel lands
+    if os.environ.get("UNILM_TPU_DISABLE_FLASH"):
+        return False
+    if jax.default_backend() == "tpu":
+        return True
+    # interpret mode for CPU correctness tests
+    return bool(os.environ.get("UNILM_TPU_FLASH_INTERPRET"))
 
 
 def supports(q, k, bias, window) -> bool:
-    return False
+    B, T, H, D = q.shape
+    if D > 256:
+        return False
+    if bias is not None:
+        if bias.ndim != 4:
+            return False
+        if bias.shape[0] not in (1, B) or bias.shape[1] not in (1, H):
+            return False
+        if bias.shape[2] != T or bias.shape[3] != k.shape[1]:
+            return False
+    return True
 
 
-def flash_attention(q, k, v, **kw):  # pragma: no cover - placeholder
-    raise NotImplementedError
+def _flash_kernel(
+    # scalar-prefetch
+    qoff_ref,  # [1] i32 — position of q row 0
+    limit_ref,  # [1] i32 — valid kv prefix length
+    # inputs (blocks)
+    q_ref,  # [1, 1, bq, D]  (pre-scaled)
+    k_ref,  # [1, 1, bk, D]
+    v_ref,  # [1, 1, bk, D]
+    *rest,
+    causal: bool,
+    window: int,
+    has_bias: bool,
+    has_mask: bool,
+    block_q: int,
+    block_k: int,
+):
+    idx = 0
+    bias_ref = mask_ref = None
+    if has_bias:
+        bias_ref = rest[idx]
+        idx += 1
+    if has_mask:
+        mask_ref = rest[idx]
+        idx += 1
+    o_ref, acc_ref, m_ref, l_ref = rest[idx : idx + 4]
+
+    i = pl.program_id(2)
+    j = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    qoff = qoff_ref[0]
+    limit = limit_ref[0]
+
+    # block-level skip: causal block fully above the diagonal, window block
+    # fully below, or block fully beyond the valid kv prefix
+    run = j * block_k < limit
+    if causal:
+        run = jnp.logical_and(run, j * block_k <= qoff + i * block_q + block_q - 1)
+    if window > 0:
+        run = jnp.logical_and(
+            run, (j + 1) * block_k - 1 >= qoff + i * block_q - window + 1
+        )
+
+    @pl.when(run)
+    def _body():
+        q = q_ref[0, 0]  # [bq, D]
+        k = k_ref[0, 0]  # [bk, D]
+        s = jax.lax.dot_general(
+            q,
+            k,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [bq, bk]
+        if has_bias:
+            s = s + bias_ref[0, 0].astype(jnp.float32)
+
+        rows = qoff + i * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0
+        )
+        cols = j * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        keep = cols < limit
+        if causal:
+            keep = jnp.logical_and(keep, cols <= rows)
+        if window > 0:
+            keep = jnp.logical_and(keep, rows - cols < window)
+        if has_mask:
+            keep = jnp.logical_and(keep, mask_ref[0, :][None, :] != 0)
+        s = jnp.where(keep, s, NEG_INF)
+
+        m_prev = m_ref[:, :1]  # [bq, 1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        # explicit keep-guard: a row fully masked in its first running block
+        # has m_new = NEG_INF and exp(s - m_new) would be exp(0) = 1
+        p = jnp.where(keep, jnp.exp(s - m_new), 0.0)
+        alpha = jnp.exp(m_prev - m_new)  # [bq, 1]
+        l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[:, :1] = m_new
+        pv = jax.lax.dot_general(
+            p.astype(v_ref.dtype),
+            v_ref[0, 0],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[:] = acc_ref[:] * alpha + pv
+
+    @pl.when(j == nk - 1)
+    def _finish():
+        l = l_ref[:, :1]
+        out = acc_ref[:] / jnp.where(l > 0.0, l, 1.0)
+        o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+def _flash_forward(
+    q,  # [B, H, T, D] pre-scaled
+    k,  # [B, H, S, D]
+    v,
+    bias,  # [Bb, Hb, T, S] or None
+    mask,  # [B, S] int32 or None
+    q_offset,  # [1] i32
+    limit,  # [1] i32
+    *,
+    causal: bool,
+    window: int,
+    block_q: int,
+    block_k: int,
+    interpret: bool,
+):
+    B, H, T, D = q.shape
+    S = k.shape[2]
+    Tp = _cdiv(T, block_q) * block_q
+    Sp = _cdiv(S, block_k) * block_k
+    if Tp != T:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
+    if Sp != S:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
+
+    grid = (B, H, Tp // block_q, Sp // block_k)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j, *_: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j, *_: (b, h, j, 0)),
+        pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j, *_: (b, h, j, 0)),
+    ]
+    inputs = [q, k, v]
+    has_bias = bias is not None
+    has_mask = mask is not None
+    if has_bias:
+        if bias.shape[2] != Tp or bias.shape[3] != Sp:
+            bias = jnp.pad(
+                bias,
+                ((0, 0), (0, 0), (0, Tp - bias.shape[2]), (0, Sp - bias.shape[3])),
+            )
+        bb = bias.shape[0] > 1
+        hb = bias.shape[1] > 1
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, block_q, block_k),
+                lambda b, h, i, j, *_, bb=bb, hb=hb: (b if bb else 0, h if hb else 0, i, j),
+            )
+        )
+        inputs.append(bias.astype(jnp.float32))
+    if has_mask:
+        if mask.shape[1] != Sp:
+            mask = jnp.pad(mask, ((0, 0), (0, Sp - mask.shape[1])))
+        in_specs.append(pl.BlockSpec((1, block_k), lambda b, h, i, j, *_: (b, j)))
+        inputs.append(mask.astype(jnp.int32))
+
+    kernel = functools.partial(
+        _flash_kernel,
+        causal=causal,
+        window=window,
+        has_bias=has_bias,
+        has_mask=has_mask,
+        block_q=block_q,
+        block_k=block_k,
+    )
+
+    flops = 4 * B * H * Tp * Sp * D
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j, *_: (b, h, i, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, D), jnp.float32),
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, 128), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, Tp, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=q.size * 4 + k.size * 4 * 2, transcendentals=B * H * Tp * Sp
+        ),
+        interpret=interpret,
+    )(q_offset, limit, *inputs)
+    return out[:, :, :T, :]
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11)
+)
+def _flash(q, k, v, bias, mask, q_offset, limit, causal, window, block_q, block_k, interpret):
+    return _flash_forward(
+        q, k, v, bias, mask, q_offset, limit,
+        causal=causal, window=window, block_q=block_q, block_k=block_k,
+        interpret=interpret,
+    )
+
+
+def _ref_attention(q, k, v, bias, mask, q_offset, limit, causal, window):
+    """XLA reference on [B, H, T, D] pre-scaled q (for the backward pass)."""
+    B, H, T, D = q.shape
+    S = k.shape[2]
+    logits = jnp.einsum("bhtd,bhsd->bhts", q, k, preferred_element_type=jnp.float32)
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    rows = q_offset[0] + jnp.arange(T)[:, None]
+    cols = jnp.arange(S)[None, :]
+    keep = cols < limit[0]
+    if causal:
+        keep = keep & (cols <= rows)
+    if window > 0:
+        keep = keep & (rows - cols < window)
+    keep = keep[None, None]
+    if mask is not None:
+        keep = keep & (mask[:, None, None, :] != 0)
+    logits = jnp.where(keep, logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhts,bhsd->bhtd", probs, v, preferred_element_type=jnp.float32).astype(
+        q.dtype
+    )
+
+
+def _flash_fwd(q, k, v, bias, mask, q_offset, limit, causal, window, block_q, block_k, interpret):
+    out = _flash(q, k, v, bias, mask, q_offset, limit, causal, window, block_q, block_k, interpret)
+    return out, (q, k, v, bias, mask, q_offset, limit)
+
+
+def _flash_bwd(causal, window, block_q, block_k, interpret, res, g):
+    q, k, v, bias, mask, q_offset, limit = res
+    def f(q, k, v, bias):
+        return _ref_attention(q, k, v, bias, mask, q_offset, limit, causal, window)
+    if bias is None:
+        _, vjp = jax.vjp(lambda q, k, v: f(q, k, v, None), q, k, v)
+        dq, dk, dv = vjp(g)
+        dbias = None
+    else:
+        _, vjp = jax.vjp(f, q, k, v, bias)
+        dq, dk, dv, dbias = vjp(g)
+    zero_i = np.zeros(q_offset.shape, jax.dtypes.float0)
+    dmask = None if mask is None else np.zeros(mask.shape, jax.dtypes.float0)
+    return (dq, dk, dv, dbias, dmask, zero_i, zero_i)
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(
+    q: jax.Array,  # [B, T, H, D]
+    k: jax.Array,  # [B, S, H, D]
+    v: jax.Array,
+    *,
+    bias: Optional[jax.Array] = None,  # [B|1, H|1, T, S]
+    key_padding_mask: Optional[jax.Array] = None,  # bool [B, S]
+    scale: Optional[float] = None,
+    causal: bool = False,
+    q_offset: Optional[jax.Array] = None,
+    kv_len: Optional[jax.Array] = None,
+    window: int = 0,
+    block_q: int = 512,
+    block_k: int = 1024,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Flash attention entry point; layout matches ops.attention.attention."""
+    B, T, H, D = q.shape
+    S = k.shape[1]
+    if scale is None:
+        scale = D**-0.5
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    block_q = min(block_q, _cdiv(T, 8) * 8 if T < block_q else block_q)
+    block_k = min(block_k, _cdiv(S, 8) * 8 if S < block_k else block_k)
+
+    qt = (q * scale).swapaxes(1, 2)
+    kt = k.swapaxes(1, 2)
+    vt = v.swapaxes(1, 2)
+    qoff = jnp.reshape(
+        jnp.zeros((), jnp.int32) if q_offset is None else q_offset.astype(jnp.int32), (1,)
+    )
+    limit = jnp.reshape(
+        jnp.asarray(S, jnp.int32) if kv_len is None else kv_len.astype(jnp.int32), (1,)
+    )
+    mask = None if key_padding_mask is None else key_padding_mask.astype(jnp.int32)
+
+    out = _flash(
+        qt, kt, vt, bias, mask, qoff, limit, causal, window, block_q, block_k, interpret
+    )
+    return out.swapaxes(1, 2)
