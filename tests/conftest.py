@@ -3,11 +3,13 @@
 The reference tests distributed code by spawning local processes
 (edgelm/tests/distributed/utils.py:12); the TPU-native equivalent is XLA's
 virtual host devices, so every sharding/collective test runs single-process.
+
+NOTE: the JAX_PLATFORMS env var is ignored in this image (the axon TPU
+plugin overrides it); jax.config.update is the reliable switch.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ.setdefault(
     "XLA_FLAGS",
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
@@ -15,4 +17,5 @@ os.environ.setdefault(
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")

@@ -16,6 +16,7 @@ from typing import Any, Callable, List, Optional, Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from unilm_tpu.core.attention import MultiheadAttention
 from unilm_tpu.core.config import TransformerConfig
@@ -229,9 +230,7 @@ class Encoder(nn.Module):
             )
             attn_bias = rel(x.shape[1], x.shape[1])
 
-        dpr = [
-            float(r) for r in jnp.linspace(0, cfg.drop_path_rate, cfg.num_layers)
-        ]
+        dpr = list(np.linspace(0, cfg.drop_path_rate, cfg.num_layers))
         hiddens = []
         for i in range(cfg.num_layers):
             if callable(attn_bias):
@@ -305,7 +304,7 @@ class Decoder(nn.Module):
                 self_attn_bias = rel(x.shape[1], cache_size, step=idx.value)
                 idx.value = idx.value + x.shape[1]
 
-        dpr = [float(r) for r in jnp.linspace(0, cfg.drop_path_rate, cfg.num_layers)]
+        dpr = list(np.linspace(0, cfg.drop_path_rate, cfg.num_layers))
         for i in range(cfg.num_layers):
             x = DecoderLayer(
                 cfg,
