@@ -73,6 +73,7 @@ class MultiheadAttention(nn.Module):
             y = nn.Dense(
                 H * D,
                 kernel_init=init,
+                use_bias=cfg.use_bias,
                 dtype=cfg.dtype,
                 param_dtype=cfg.param_dtype,
                 name=name,
@@ -149,7 +150,7 @@ class MultiheadAttention(nn.Module):
             v,
             bias=attn_bias,
             key_padding_mask=key_padding_mask,
-            scale=self.scale,
+            scale=self.scale if self.scale is not None else cfg.attn_scale,
             causal=causal,
             q_offset=q_offset if mode != "train" else None,
             kv_len=kv_len,
@@ -164,16 +165,14 @@ class MultiheadAttention(nn.Module):
         out = out.reshape(B, T, H * D)
 
         if cfg.subln and self.self_attention:
-            out = nn.LayerNorm(
-                epsilon=cfg.layernorm_eps,
-                dtype=cfg.dtype,
-                param_dtype=cfg.param_dtype,
-                name="inner_attn_ln",
-            )(out)
+            from unilm_tpu.core.layers import make_norm
+
+            out = make_norm(cfg, "inner_attn_ln")(out)
 
         return nn.Dense(
             E,
             kernel_init=o_init,
+            use_bias=cfg.use_bias,
             dtype=cfg.dtype,
             param_dtype=cfg.param_dtype,
             name="out_proj",

@@ -34,13 +34,16 @@ class TransformerConfig:
     drop_path_rate: float = 0.0
 
     # --- architecture switches (Magneto core) ------------------------------
-    activation: str = "gelu"  # gelu | relu | swiglu
+    activation: str = "gelu"  # gelu | relu | swiglu | geglu | geglu_new
     normalize_before: bool = True  # pre-LN (False = post-LN)
     deepnorm: bool = False  # DeepNorm residual scaling + init down-scale
     subln: bool = False  # Magneto sub-LayerNorm + init up-scale
     bert_init: bool = False
     multiway: bool = False  # modality-split FFN/LN (BEiT-3)
     layernorm_eps: float = 1e-5
+    norm_type: str = "layernorm"  # layernorm | rmsnorm (T5/Pix2Struct style)
+    use_bias: bool = True  # False: bias-free projections (T5/Pix2Struct)
+    attn_scale: Optional[float] = None  # None = head_dim**-0.5; T5 uses 1.0
 
     # --- positional schemes -------------------------------------------------
     rel_pos_buckets: int = 0  # T5 bucketed relative bias (0 = off)

@@ -78,10 +78,28 @@ def get_activation(name: str) -> Callable:
     return {
         "gelu": lambda x: jax.nn.gelu(x, approximate=False),
         "gelu_tanh": lambda x: jax.nn.gelu(x, approximate=True),
+        "gelu_new": lambda x: jax.nn.gelu(x, approximate=True),
         "relu": jax.nn.relu,
         "silu": jax.nn.silu,
         "swish": jax.nn.silu,
+        "quick_gelu": lambda x: x * jax.nn.sigmoid(1.702 * x),
     }[name]
+
+
+GATED_ACTIVATIONS = {"swiglu": "silu", "geglu": "gelu", "geglu_new": "gelu_new"}
+
+
+def make_norm(cfg: TransformerConfig, name: str):
+    """LayerNorm or T5/Pix2Struct-style RMSNorm by cfg.norm_type."""
+    if cfg.norm_type == "rmsnorm":
+        return nn.RMSNorm(
+            epsilon=cfg.layernorm_eps, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+            name=name,
+        )
+    return nn.LayerNorm(
+        epsilon=cfg.layernorm_eps, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+        name=name,
+    )
 
 
 class FeedForward(nn.Module):
@@ -102,26 +120,24 @@ class FeedForward(nn.Module):
         dense = lambda feats, name: nn.Dense(
             feats,
             kernel_init=kinit,
+            use_bias=cfg.use_bias,
             dtype=cfg.dtype,
             param_dtype=cfg.param_dtype,
             name=name,
         )
-        if cfg.activation == "swiglu":
-            # SwiGLU: (silu(xW1) * xW3) W2 — fused by XLA / Pallas swiglu kernel.
+        if cfg.activation in GATED_ACTIVATIONS:
+            # gated FFN: (act(xW1) * xW3) W2 — SwiGLU / GeGLU; XLA fuses,
+            # Pallas swiglu kernel covers the hot path.
+            act = get_activation(GATED_ACTIVATIONS[cfg.activation])
             g = dense(cfg.ffn_dim, "fc1")(x)
             u = dense(cfg.ffn_dim, "fc3")(x)
-            h = jax.nn.silu(g) * u
+            h = (act(g.astype(jnp.float32)) * u.astype(jnp.float32)).astype(cfg.dtype)
         else:
             h = dense(cfg.ffn_dim, "fc1")(x)
             h = get_activation(cfg.activation)(h.astype(jnp.float32)).astype(cfg.dtype)
         h = nn.Dropout(cfg.activation_dropout)(h, deterministic=deterministic)
         if cfg.subln:
-            h = nn.LayerNorm(
-                epsilon=cfg.layernorm_eps,
-                dtype=cfg.dtype,
-                param_dtype=cfg.param_dtype,
-                name="ffn_layernorm",
-            )(h)
+            h = make_norm(cfg, "ffn_layernorm")(h)
         h = dense(cfg.embed_dim, "fc2")(h)
         h = nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
         return h

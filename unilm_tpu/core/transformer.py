@@ -20,14 +20,12 @@ import numpy as np
 
 from unilm_tpu.core.attention import MultiheadAttention
 from unilm_tpu.core.config import TransformerConfig
-from unilm_tpu.core.layers import DropPath, FeedForward, LayerScale
+from unilm_tpu.core.layers import DropPath, FeedForward, LayerScale, make_norm
 from unilm_tpu.core.positional import RelativePositionBias
 
 
-def _ln(cfg: TransformerConfig, name: str) -> nn.LayerNorm:
-    return nn.LayerNorm(
-        epsilon=cfg.layernorm_eps, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name=name
-    )
+def _ln(cfg: TransformerConfig, name: str):
+    return make_norm(cfg, name)
 
 
 def _ffn_init_scale(cfg: TransformerConfig) -> float:
