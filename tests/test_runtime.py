@@ -1,0 +1,181 @@
+"""Runtime tests: train step, optimizer factory, checkpointing, metrics."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+import flax.linen as nn
+
+from unilm_tpu.runtime import metrics as M
+from unilm_tpu.runtime.checkpoint import CheckpointManager
+from unilm_tpu.runtime.logging import JsonlLogger, find_nonfinite
+from unilm_tpu.runtime.optim import (
+    beit_layer_id,
+    cosine_schedule,
+    create_optimizer,
+    inverse_sqrt_schedule,
+    layer_decay_scales,
+    polynomial_decay_schedule,
+    weight_decay_mask,
+)
+from unilm_tpu.runtime.train import TrainState, cross_entropy_loss, make_train_step
+
+
+class TinyModel(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(16, name="fc1")(x)
+        return nn.Dense(4, name="head")(x)
+
+
+def make_loss(model):
+    def loss_fn(params, batch, rng):
+        logits = model.apply({"params": params}, batch["x"])
+        loss_sum, n = cross_entropy_loss(logits, batch["y"])
+        return loss_sum / n, {"n": n}
+
+    return loss_fn
+
+
+def test_train_step_reduces_loss():
+    model = TinyModel()
+    x = jax.random.normal(jax.random.PRNGKey(0), (32, 8))
+    y = (x.sum(-1) > 0).astype(jnp.int32)
+    params = model.init(jax.random.PRNGKey(1), x)["params"]
+    tx = optax.adamw(1e-2)
+    state = TrainState.create(params, tx, ema=True)
+    step = jax.jit(make_train_step(make_loss(model), tx, ema_decay=0.9, clip_grad_norm=1.0))
+    batch = {"x": x, "y": y}
+    losses = []
+    for i in range(30):
+        state, m = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.7
+    assert state.ema_params is not None
+    assert int(state.step) == 30
+
+
+def test_microbatch_accumulation_matches_full_batch():
+    model = TinyModel()
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 8))
+    y = jnp.arange(8) % 4
+    params = model.init(jax.random.PRNGKey(1), x)["params"]
+    tx = optax.sgd(0.1)
+
+    s1 = TrainState.create(params, tx)
+    step1 = jax.jit(make_train_step(make_loss(model), tx))
+    s1, m1 = step1(s1, {"x": x, "y": y}, jax.random.PRNGKey(0))
+
+    s2 = TrainState.create(params, tx)
+    step2 = jax.jit(make_train_step(make_loss(model), tx, microbatches=4))
+    mb = {"x": x.reshape(4, 2, 8), "y": y.reshape(4, 2)}
+    s2, m2 = step2(s2, mb, jax.random.PRNGKey(0))
+
+    # mean-of-microbatch-means == full mean here (equal microbatch sizes)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_layer_decay_and_wd_mask():
+    params = {
+        "backbone": {
+            "embeddings": {"cls_token": jnp.zeros((1, 1, 8))},
+            "encoder": {
+                "layers_0": {"ffn": {"fc1": {"kernel": jnp.zeros((8, 8)), "bias": jnp.zeros(8)}}},
+                "layers_1": {"ffn": {"fc1": {"kernel": jnp.zeros((8, 8))}}},
+            },
+        },
+        "head": {"kernel": jnp.zeros((8, 4))},
+    }
+    scales = layer_decay_scales(params, 0.5, num_layers=2)
+    assert np.isclose(scales["head"]["kernel"], 1.0)
+    assert np.isclose(scales["backbone"]["encoder"]["layers_1"]["ffn"]["fc1"]["kernel"], 0.5)
+    assert np.isclose(scales["backbone"]["encoder"]["layers_0"]["ffn"]["fc1"]["kernel"], 0.25)
+    assert np.isclose(scales["backbone"]["embeddings"]["cls_token"], 0.125)
+
+    mask = weight_decay_mask(params)
+    assert mask["head"]["kernel"] is True
+    assert mask["backbone"]["encoder"]["layers_0"]["ffn"]["fc1"]["bias"] is False
+    assert mask["backbone"]["embeddings"]["cls_token"] is False
+
+
+def test_create_optimizer_runs():
+    model = TinyModel()
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 8))
+    params = model.init(jax.random.PRNGKey(1), x)["params"]
+    sched = cosine_schedule(1e-3, 100, warmup_steps=10)
+    tx = create_optimizer(params, sched, layer_decay=0.9, num_layers=2)
+    state = tx.init(params)
+    g = jax.tree.map(jnp.ones_like, params)
+    updates, state = tx.update(g, state, params)
+    assert np.isfinite(jax.tree.leaves(updates)[0]).all()
+
+
+def test_schedules():
+    s = cosine_schedule(1.0, 100, warmup_steps=10)
+    assert float(s(0)) < 0.2
+    assert np.isclose(float(s(10)), 1.0, atol=0.05)
+    assert float(s(100)) < 0.01
+    p = polynomial_decay_schedule(1.0, 100, warmup_steps=10)
+    assert np.isclose(float(p(10)), 1.0, atol=0.1)
+    assert float(p(100)) < 0.02
+    i = inverse_sqrt_schedule(1.0, warmup_steps=16)
+    assert np.isclose(float(i(16)), 1.0, atol=0.05)
+    assert np.isclose(float(i(64)), 0.5, atol=0.05)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    model = TinyModel()
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 8))
+    params = model.init(jax.random.PRNGKey(1), x)["params"]
+    tx = optax.adamw(1e-3)
+    state = TrainState.create(params, tx)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), keep_last=2)
+    for step, loss in [(1, 3.0), (2, 2.0), (3, 1.0)]:
+        mgr.save(step, state, data_state={"num_items_yielded": step * 10},
+                 metrics={"loss": loss})
+    assert mgr.all_steps() == [2, 3]  # keep_last=2 rotation
+
+    abstract = jax.eval_shape(lambda: state)
+    restored, data_state, metrics = mgr.restore(abstract)
+    assert data_state == {"num_items_yielded": 30}
+    assert metrics["loss"] == 1.0
+    for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(state.params)):
+        np.testing.assert_allclose(a, b)
+
+
+def test_metrics_scopes():
+    M.reset_meters()
+    with M.aggregate("train") as agg:
+        M.log_scalar("loss", 2.0, weight=1)
+        M.log_scalar("loss", 4.0, weight=3)
+        with M.aggregate("inner") as inner:
+            M.log_scalar("loss", 10.0)
+        M.log_derived("ppl", lambda d: 2 ** d["loss"])
+    vals = agg.get_smoothed_values()
+    # (2*1 + 4*3 + 10*1) / 5 = 4.8
+    assert np.isclose(vals["loss"], 4.8)
+    assert np.isclose(vals["ppl"], 2**4.8)
+    assert np.isclose(inner.get_smoothed_values()["loss"], 10.0)
+
+
+def test_find_nonfinite():
+    tree = {"a": jnp.ones(3), "b": {"c": jnp.array([1.0, jnp.nan, jnp.inf])}}
+    bad = find_nonfinite(tree)
+    assert list(bad.keys()) == ["b/c"]
+    assert bad["b/c"] == 2
+
+
+def test_jsonl_logger(tmp_path):
+    p = tmp_path / "log.jsonl"
+    lg = JsonlLogger(str(p))
+    lg.log({"loss": 1.5}, step=3)
+    import json
+
+    rec = json.loads(p.read_text().strip())
+    assert rec["loss"] == 1.5 and rec["step"] == 3
