@@ -1,0 +1,108 @@
+"""Native C++ ops + scoring tests (vs pure-python oracles)."""
+
+import numpy as np
+import pytest
+
+from unilm_tpu import native
+from unilm_tpu.scoring import BleuScorer, accuracy_topk, cer, entity_f1, wer
+
+
+def test_native_builds():
+    assert native.get_lib() is not None, "g++ build of unilm_native.so failed"
+
+
+def py_edit(a, b):
+    la, lb = len(a), len(b)
+    d = [[0] * (lb + 1) for _ in range(la + 1)]
+    for i in range(la + 1):
+        d[i][0] = i
+    for j in range(lb + 1):
+        d[0][j] = j
+    for i in range(1, la + 1):
+        for j in range(1, lb + 1):
+            d[i][j] = min(
+                d[i - 1][j] + 1, d[i][j - 1] + 1,
+                d[i - 1][j - 1] + (a[i - 1] != b[j - 1]),
+            )
+    return d[la][lb]
+
+
+def test_edit_distance_matches_oracle():
+    rng = np.random.RandomState(0)
+    for _ in range(20):
+        a = rng.randint(0, 5, rng.randint(0, 12)).tolist()
+        b = rng.randint(0, 5, rng.randint(0, 12)).tolist()
+        assert native.edit_distance(a, b) == py_edit(a, b)
+
+
+def test_edit_distance_batch():
+    seqs_a = [[1, 2, 3], [], [4, 5]]
+    seqs_b = [[1, 3], [7], [4, 5]]
+    out = native.edit_distance_batch(seqs_a, seqs_b)
+    assert out.tolist() == [1, 1, 0]
+
+
+def test_cer_wer():
+    assert cer(["abc"], ["abc"]) == 0.0
+    assert np.isclose(cer(["abcd"], ["abxd"]), 0.25)
+    assert np.isclose(wer(["the cat sat"], ["the dog sat"]), 1 / 3)
+
+
+def test_bleu_perfect_and_partial():
+    s = BleuScorer()
+    s.add_string("the cat sat on the mat", "the cat sat on the mat")
+    assert np.isclose(s.score(), 100.0, atol=1e-6)
+    s2 = BleuScorer()
+    s2.add_string("the cat sat on the mat", "the cat sat on the hat")
+    assert 0 < s2.score() < 100
+
+
+def test_bleu_matches_sacre_style_known_value():
+    # hand-computable: ref "a b c d", hyp "a b c d" -> 100
+    # hyp "a b x d": 1grams 3/4, 2grams 1/3, 3grams 0 -> score 0
+    s = BleuScorer()
+    s.add_string("a b c d", "a b x d")
+    assert s.score() == 0.0  # zero 3-gram matches
+
+
+def test_batch_by_size():
+    lengths = np.array([3, 3, 4, 8, 2, 2, 2])
+    batches = native.batch_by_size(lengths, max_tokens=8)
+    # padded cost per batch <= 8
+    for b in batches:
+        assert lengths[b].max() * len(b) <= 8
+    flat = np.concatenate(batches)
+    assert sorted(flat.tolist()) == list(range(7))
+
+
+def test_balanced_assignment():
+    rng = np.random.RandomState(0)
+    n, k = 16, 4
+    scores = rng.rand(n, k).astype(np.float32)
+    out = native.balanced_assignment(scores)
+    counts = np.bincount(out, minlength=k)
+    assert (counts == n // k).all()
+    # quality: better than random assignment on average
+    got = scores[np.arange(n), out].sum()
+    rand = scores[np.arange(n), rng.randint(0, k, n)].sum()
+    assert got > rand
+
+
+def test_entity_f1():
+    true = [["B-PER", "I-PER", "O", "B-LOC"]]
+    pred = [["B-PER", "I-PER", "O", "B-ORG"]]
+    m = entity_f1(true, pred)
+    assert np.isclose(m["precision"], 0.5)
+    assert np.isclose(m["recall"], 0.5)
+    pred2 = [["B-PER", "I-PER", "O", "B-LOC"]]
+    assert entity_f1(true, pred2)["f1"] == 1.0
+
+
+def test_accuracy_topk():
+    logits = np.array([[0.1, 0.9, 0.0], [0.8, 0.1, 0.1]])
+    labels = np.array([1, 2])
+    acc = accuracy_topk(logits, labels, topk=(1, 2))
+    assert acc["acc1"] == 50.0
+    assert acc["acc2"] == 50.0
+    acc3 = accuracy_topk(logits, labels, topk=(3,))
+    assert acc3["acc3"] == 100.0
