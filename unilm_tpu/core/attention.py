@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from unilm_tpu.core.config import TransformerConfig
 from unilm_tpu.core.layers import scaled_init
 from unilm_tpu.core import positional
+from unilm_tpu.core.multiway import MultiwayDense, MultiwayNorm
 from unilm_tpu.ops.attention import attention
 
 
@@ -48,6 +49,7 @@ class MultiheadAttention(nn.Module):
         causal: bool = False,
         mode: str = "train",  # train | prefill | decode
         cache_size: int = 0,
+        split_mask: Optional[jax.Array] = None,  # multiway modality mask
         deterministic: bool = True,
     ) -> jax.Array:
         cfg = self.cfg
@@ -70,14 +72,20 @@ class MultiheadAttention(nn.Module):
         o_init = scaled_init(nn.initializers.xavier_uniform(), vo_scale)
 
         def proj(x, name, init):
-            y = nn.Dense(
-                H * D,
-                kernel_init=init,
-                use_bias=cfg.use_bias,
-                dtype=cfg.dtype,
-                param_dtype=cfg.param_dtype,
-                name=name,
-            )(x)
+            if cfg.multiway:
+                y = MultiwayDense(
+                    H * D, use_bias=cfg.use_bias, dtype=cfg.dtype,
+                    param_dtype=cfg.param_dtype, kernel_init=init, name=name,
+                )(x, split_mask)
+            else:
+                y = nn.Dense(
+                    H * D,
+                    kernel_init=init,
+                    use_bias=cfg.use_bias,
+                    dtype=cfg.dtype,
+                    param_dtype=cfg.param_dtype,
+                    name=name,
+                )(x)
             return y.reshape(x.shape[0], x.shape[1], H, D)
 
         q = proj(query, "q_proj", qk_init)
@@ -165,10 +173,22 @@ class MultiheadAttention(nn.Module):
         out = out.reshape(B, T, H * D)
 
         if cfg.subln and self.self_attention:
-            from unilm_tpu.core.layers import make_norm
+            if cfg.multiway:
+                out = MultiwayNorm(
+                    epsilon=cfg.layernorm_eps, dtype=cfg.dtype,
+                    param_dtype=cfg.param_dtype, rms=cfg.norm_type == "rmsnorm",
+                    name="inner_attn_ln",
+                )(out, split_mask)
+            else:
+                from unilm_tpu.core.layers import make_norm
 
-            out = make_norm(cfg, "inner_attn_ln")(out)
+                out = make_norm(cfg, "inner_attn_ln")(out)
 
+        if cfg.multiway:
+            return MultiwayDense(
+                E, use_bias=cfg.use_bias, dtype=cfg.dtype,
+                param_dtype=cfg.param_dtype, kernel_init=o_init, name="out_proj",
+            )(out, split_mask)
         return nn.Dense(
             E,
             kernel_init=o_init,

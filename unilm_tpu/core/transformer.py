@@ -58,6 +58,7 @@ class EncoderLayer(nn.Module):
         *,
         key_padding_mask: Optional[jax.Array] = None,
         attn_bias: Optional[jax.Array] = None,
+        split_mask: Optional[jax.Array] = None,  # multiway modality mask
         deterministic: bool = True,
     ) -> jax.Array:
         cfg = self.cfg
@@ -67,15 +68,28 @@ class EncoderLayer(nn.Module):
             if self.layer_scale_init > 0
             else None
         )
+        if cfg.multiway:
+            from unilm_tpu.core.multiway import MultiwayNorm
+
+            norm = lambda name: (
+                lambda y: MultiwayNorm(
+                    epsilon=cfg.layernorm_eps, dtype=cfg.dtype,
+                    param_dtype=cfg.param_dtype, rms=cfg.norm_type == "rmsnorm",
+                    name=name,
+                )(y, split_mask)
+            )
+        else:
+            norm = lambda name: _ln(cfg, name)
 
         # --- self attention -------------------------------------------------
         residual = x
         if cfg.normalize_before:
-            x = _ln(cfg, "self_attn_layer_norm")(x)
+            x = norm("self_attn_layer_norm")(x)
         x = MultiheadAttention(cfg, self_attention=True, name="self_attn")(
             x,
             key_padding_mask=key_padding_mask,
             attn_bias=attn_bias,
+            split_mask=split_mask,
             deterministic=deterministic,
         )
         x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
@@ -85,14 +99,28 @@ class EncoderLayer(nn.Module):
             x = dp(x, deterministic=deterministic)
         x = residual * self.alpha + x
         if not cfg.normalize_before:
-            x = _ln(cfg, "self_attn_layer_norm")(x)
+            x = norm("self_attn_layer_norm")(x)
 
         # --- ffn / moe --------------------------------------------------------
-        ffn, is_moe = _build_ffn(cfg, self.layer_idx)
         residual = x
         if cfg.normalize_before:
-            x = _ln(cfg, "final_layer_norm")(x)
-        x = ffn(x, deterministic=deterministic)
+            x = norm("final_layer_norm")(x)
+        if cfg.multiway and not (cfg.moe_freq > 0 and (self.layer_idx + 1) % cfg.moe_freq == 0):
+            # whole-FFN duplication (torchscale MultiwayWrapper(ffn))
+            a = FeedForward(cfg, init_scale=_ffn_init_scale(cfg), name="ffn_A")(
+                x, deterministic=deterministic
+            )
+            b = FeedForward(cfg, init_scale=_ffn_init_scale(cfg), name="ffn_B")(
+                x if split_mask is not None else x[:, :1], deterministic=deterministic
+            )
+            if split_mask is not None:
+                m = split_mask[None, :, None] if split_mask.ndim == 1 else split_mask[..., None]
+                x = jnp.where(m, b, a)
+            else:
+                x = a
+        else:
+            ffn, is_moe = _build_ffn(cfg, self.layer_idx)
+            x = ffn(x, deterministic=deterministic)
         if isinstance(x, tuple):  # MoE returns (out, aux_loss)
             x, aux = x
             self.sow("losses", "moe_aux", aux)
@@ -102,7 +130,7 @@ class EncoderLayer(nn.Module):
             x = dp(x, deterministic=deterministic)
         x = residual * self.alpha + x
         if not cfg.normalize_before:
-            x = _ln(cfg, "final_layer_norm")(x)
+            x = norm("final_layer_norm")(x)
         return x
 
 
@@ -212,6 +240,7 @@ class Encoder(nn.Module):
         key_padding_mask: Optional[jax.Array] = None,
         attn_bias: Any = None,  # array | sequence of arrays | callable(i)
         layer_scale_init: float = 0.0,
+        multiway_split_mask: Optional[jax.Array] = None,  # [T] or [B,T] bool
         deterministic: bool = True,
         return_all_hiddens: bool = False,
     ):
@@ -248,12 +277,21 @@ class Encoder(nn.Module):
                 x,
                 key_padding_mask=key_padding_mask,
                 attn_bias=bias_i,
+                split_mask=multiway_split_mask,
                 deterministic=deterministic,
             )
             if return_all_hiddens:
                 hiddens.append(x)
         if cfg.normalize_before and self.final_layer_norm:
-            x = _ln(cfg, "layer_norm")(x)
+            if cfg.multiway:
+                from unilm_tpu.core.multiway import MultiwayNorm
+
+                x = MultiwayNorm(
+                    epsilon=cfg.layernorm_eps, dtype=cfg.dtype,
+                    param_dtype=cfg.param_dtype, name="layer_norm",
+                )(x, multiway_split_mask)
+            else:
+                x = _ln(cfg, "layer_norm")(x)
         if return_all_hiddens:
             return x, hiddens
         return x
