@@ -91,8 +91,9 @@ def test_unigpt_prefill_decode_parity():
 
     prefill, step = make_unigpt_generate_fns(model, cache_size=12)
     logits, cache = prefill(params, tokens[:, :5], None)
+    # prefill returns last-position logits only (TTFT optimization)
     np.testing.assert_allclose(
-        np.asarray(logits), np.asarray(full[:, :5]), atol=2e-4, rtol=1e-3
+        np.asarray(logits), np.asarray(full[:, 4:5]), atol=2e-4, rtol=1e-3
     )
     outs = []
     for t in range(5, 12):
@@ -134,7 +135,7 @@ def test_unigpt_multimodal_forward_and_decode():
     prefill, step = make_unigpt_generate_fns(model, cache_size=T + 4)
     logits, cache = prefill(params, tokens, (img_feats, img_mask, segs))
     np.testing.assert_allclose(
-        np.asarray(logits), np.asarray(full), atol=2e-4, rtol=1e-3
+        np.asarray(logits), np.asarray(full[:, -1:]), atol=2e-4, rtol=1e-3
     )
     lg, cache = step(params, tokens[:, -1:], cache, None)
     assert lg.shape == (B, 1, 60)

@@ -172,6 +172,7 @@ class LatentQueryResampler(nn.Module):
     num_latents: int
     num_heads: int
     dtype: Any = jnp.float32
+    use_flash: bool = True
 
     @nn.compact
     def __call__(self, features: jax.Array, deterministic: bool = True) -> jax.Array:
@@ -189,7 +190,7 @@ class LatentQueryResampler(nn.Module):
         kv = jnp.concatenate([x, latent_b], axis=1)
         acfg = TransformerConfig(
             embed_dim=self.output_dim, num_heads=self.num_heads, dtype=self.dtype,
-            use_flash=False,
+            use_flash=self.use_flash,
         )
         return MultiheadAttention(acfg, self_attention=False, name="x_attn")(
             latent_b, key=kv, deterministic=deterministic
@@ -311,7 +312,7 @@ class UniGPT(nn.Module):
         if cfg.image_tower:
             self.img_connector = LatentQueryResampler(
                 cfg.embed_dim, cfg.latent_query_num, cfg.num_heads,
-                dtype=cfg.dtype, name="img_connector",
+                dtype=cfg.dtype, use_flash=cfg.use_flash, name="img_connector",
             )
 
     # ------------------------------------------------------------------ #
@@ -389,6 +390,7 @@ class UniGPT(nn.Module):
         img_features: Optional[jax.Array] = None,
         img_gpt_input_mask: Optional[jax.Array] = None,
         segment_tokens: Optional[jax.Array] = None,
+        last_logit_only: bool = False,
     ) -> jax.Array:
         self.step_counter(jnp.asarray(src_tokens.shape[1], jnp.int32), reset=True)
         x = self._embed(
@@ -399,6 +401,10 @@ class UniGPT(nn.Module):
             x, causal=not self.cfg.prefix_lm_prefill, mode="prefill",
             cache_size=cache_size,
         )
+        if last_logit_only:
+            # generation only consumes the final position; skip the
+            # [T, vocab] projection (TTFT: saves ~0.7 TFLOP + 445 MB HBM)
+            x = x[:, -1:]
         return self.output_layer(x)
 
     def decode_step(self, tokens: jax.Array, cache_size: int) -> jax.Array:
@@ -422,6 +428,7 @@ def make_unigpt_generate_fns(model: UniGPT, cache_size: int):
             img_features, img_mask, segs = aux
         logits, vars_ = model.apply(
             {"params": params}, tokens, cache_size, img_features, img_mask, segs,
+            True,  # last_logit_only: generate() reads logits[:, -1] only
             method=model.prefill, mutable=["cache"],
         )
         return logits, vars_["cache"]
