@@ -314,6 +314,7 @@ class Decoder(nn.Module):
         *,
         self_key_padding_mask: Optional[jax.Array] = None,
         encoder_padding_mask: Optional[jax.Array] = None,
+        attn_bias: Optional[jax.Array] = None,  # external additive bias
         causal: bool = True,
         mode: str = "train",
         cache_size: int = 0,
@@ -322,7 +323,7 @@ class Decoder(nn.Module):
         cfg = self.cfg
         alpha = cfg.deepnorm_alpha if cfg.deepnorm else 1.0
 
-        self_attn_bias = None
+        self_attn_bias = attn_bias
         if cfg.rel_pos_buckets > 0:
             rel = RelativePositionBias(
                 num_buckets=cfg.rel_pos_buckets,
@@ -333,11 +334,13 @@ class Decoder(nn.Module):
                 name="self_attn_relative_position",
             )
             if mode == "train":
-                self_attn_bias = rel(x.shape[1], x.shape[1])
+                rel_bias = rel(x.shape[1], x.shape[1])
+                self_attn_bias = rel_bias if self_attn_bias is None else self_attn_bias + rel_bias
             else:
                 # decode: bias rows for current steps against full cache
                 idx = self.variable("cache", "step", lambda: jnp.zeros((), jnp.int32))
-                self_attn_bias = rel(x.shape[1], cache_size, step=idx.value)
+                rel_bias = rel(x.shape[1], cache_size, step=idx.value)
+                self_attn_bias = rel_bias if self_attn_bias is None else self_attn_bias + rel_bias
                 idx.value = idx.value + x.shape[1]
 
         dpr = list(np.linspace(0, cfg.drop_path_rate, cfg.num_layers))
