@@ -210,3 +210,30 @@ def test_state_survives_json_roundtrip():
     bs2 = it.BufferedShuffleIterator(src2, buffer_size=5, seed=1)
     bs2.setstate(state)
     assert [next(bs2) for _ in range(15)] == ref
+
+
+def test_grounding_roundtrip():
+    from unilm_tpu.data.grounding import (
+        box_to_patch_indices,
+        box_tokens,
+        parse_grounded_text,
+        patch_indices_to_box,
+    )
+
+    box = (0.1, 0.2, 0.6, 0.9)
+    ul, lr = box_to_patch_indices(box, 32)
+    back = patch_indices_to_box(ul, lr, 32)
+    # roundtrip within one grid cell (1/32)
+    for a, b in zip(box, back):
+        assert abs(a - b) <= 1 / 32 + 1e-6
+
+    text = ("<grounding>An image of <phrase>a snowman</phrase><object>"
+            "<patch_index_0044><patch_index_0863></object> warming himself")
+    clean, ents = parse_grounded_text(text, 32)
+    assert "a snowman" in clean and "<object>" not in clean
+    assert len(ents) == 1
+    phrase, boxes = ents[0]
+    assert phrase == "a snowman"
+    assert len(boxes) == 1
+    x0, y0, x1, y1 = boxes[0]
+    assert 0 <= x0 < x1 <= 1 and 0 <= y0 < y1 <= 1
