@@ -237,3 +237,40 @@ def test_grounding_roundtrip():
     assert len(boxes) == 1
     x0, y0, x1, y1 = boxes[0]
     assert 0 <= x0 < x1 <= 1 and 0 <= y0 < y1 <= 1
+
+
+def test_mmap_indexed_dataset(tmp_path):
+    from unilm_tpu.data.indexed_dataset import (
+        MMapIndexedDataset,
+        build_indexed_dataset,
+    )
+
+    seqs = [np.arange(n, dtype=np.int32) + n for n in (3, 7, 1, 12)]
+    prefix = str(tmp_path / "corpus")
+    ds = build_indexed_dataset(prefix, seqs)
+    assert len(ds) == 4
+    for i, s in enumerate(seqs):
+        np.testing.assert_array_equal(ds[i], s)
+    ds2 = MMapIndexedDataset(prefix)
+    np.testing.assert_array_equal(ds2[3], seqs[3])
+
+
+def test_token_block_iterator_checkpointable():
+    from unilm_tpu.data.indexed_dataset import TokenBlockIterator
+
+    docs = [[i] * (i % 5 + 1) for i in range(30)]
+    def make():
+        src = it.InfinitePermutationSourceIterator(docs, seed=1)
+        return TokenBlockIterator(src, block_size=7, eod=99)
+
+    ref_it = make()
+    ref = [next(ref_it).tolist() for _ in range(20)]
+    pipe = make()
+    for _ in range(8):
+        next(pipe)
+    state = pipe.getstate()
+    pipe2 = make()
+    pipe2.setstate(state)
+    tail = [next(pipe2).tolist() for _ in range(12)]
+    assert tail == ref[8:]
+    assert all(len(b) == 7 for b in ref)

@@ -70,6 +70,8 @@ class TransformerConfig:
     moe_second_expert_policy: str = "random"
 
     # --- attention implementation ----------------------------------------------
+    remat: bool = False  # activation checkpointing per layer (fairseq
+    # --checkpoint-activations / torchscale checkpoint_wrapper, decoder.py:351)
     use_flash: bool = True  # Pallas flash attention when on TPU
     window_size: int = 0  # sliding-window attention (0 = full)
     flash_block_q: int = 512

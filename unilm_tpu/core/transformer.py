@@ -266,20 +266,30 @@ class Encoder(nn.Module):
                 bias_i = attn_bias[i]
             else:
                 bias_i = attn_bias
-            x = EncoderLayer(
+            layer = EncoderLayer(
                 cfg,
                 layer_idx=i,
                 drop_path=dpr[i],
                 layer_scale_init=layer_scale_init,
                 alpha=alpha,
                 name=f"layers_{i}",
-            )(
-                x,
-                key_padding_mask=key_padding_mask,
-                attn_bias=bias_i,
-                split_mask=multiway_split_mask,
-                deterministic=deterministic,
             )
+
+            def run_layer(mdl, h, bias_j):
+                return mdl(
+                    h,
+                    key_padding_mask=key_padding_mask,
+                    attn_bias=bias_j,
+                    split_mask=multiway_split_mask,
+                    deterministic=deterministic,
+                )
+
+            if cfg.remat:
+                # fairseq --checkpoint-activations equivalent: rematerialize
+                # the layer in backward instead of keeping activations
+                x = nn.remat(run_layer)(layer, x, bias_i)
+            else:
+                x = run_layer(layer, x, bias_i)
             if return_all_hiddens:
                 hiddens.append(x)
         if cfg.normalize_before and self.final_layer_norm:
