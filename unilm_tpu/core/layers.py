@@ -131,10 +131,10 @@ class FeedForward(nn.Module):
             act = get_activation(GATED_ACTIVATIONS[cfg.activation])
             g = dense(cfg.ffn_dim, "fc1")(x)
             u = dense(cfg.ffn_dim, "fc3")(x)
-            h = (act(g.astype(jnp.float32)) * u.astype(jnp.float32)).astype(cfg.dtype)
+            h = act(g) * u  # compute dtype (autocast semantics; fp32 when fp32)
         else:
             h = dense(cfg.ffn_dim, "fc1")(x)
-            h = get_activation(cfg.activation)(h.astype(jnp.float32)).astype(cfg.dtype)
+            h = get_activation(cfg.activation)(h)
         h = nn.Dropout(cfg.activation_dropout)(h, deterministic=deterministic)
         if cfg.subln:
             h = make_norm(cfg, "ffn_layernorm")(h)

@@ -48,12 +48,16 @@ def dot_product_attention(
     depth = q.shape[-1]
     if scale is None:
         scale = depth**-0.5
-    logits = jnp.einsum("bthd,bshd->bhts", q * scale, k, preferred_element_type=jnp.float32)
+    # bf16 inputs: keep logits/bias in bf16 (the reference's fp16-autocast
+    # behavior — bmm emits fp16, softmax upcasts) to halve HBM traffic on the
+    # [B, H, T, S] tensor; fp32 inputs keep full-precision logits.
+    acc_dtype = jnp.float32 if q.dtype == jnp.float32 else q.dtype
+    logits = jnp.einsum("bthd,bshd->bhts", q * scale, k, preferred_element_type=acc_dtype)
     if bias is not None:
-        logits = logits + bias.astype(jnp.float32)
+        logits = logits + bias.astype(acc_dtype)
     if mask is not None:
-        logits = jnp.where(mask, logits, NEG_INF)
-    probs = jax.nn.softmax(logits, axis=-1)
+        logits = jnp.where(mask, logits, jnp.asarray(NEG_INF, acc_dtype))
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     if dropout_rate > 0.0 and not deterministic:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
         probs = probs * keep / (1.0 - dropout_rate)
@@ -86,7 +90,11 @@ def attention(
     B, T, H, D = q.shape
     S = k.shape[1]
 
-    if use_flash and dropout_rate == 0.0 and T > 8:
+    # Measured crossover on v5e (PERFORMANCE.md): XLA attention wins below
+    # ~1K keys (flash's block padding + grid overhead dominate); flash wins
+    # at long S and always for sliding windows (avoids O(T*S) HBM traffic).
+    profitable = S >= 1024 or (window and window > 0)
+    if use_flash and profitable and dropout_rate == 0.0 and T > 8:
         from unilm_tpu.ops import flash_attention as fa
 
         if fa.is_available() and fa.supports(q, k, bias, window):
