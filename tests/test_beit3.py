@@ -127,3 +127,38 @@ def test_captioning_mask_causality():
         np.asarray(l1)[:, :4], np.asarray(l2)[:, :4], atol=1e-5
     )
     assert np.abs(np.asarray(l1)[:, 4] - np.asarray(l2)[:, 4]).max() > 1e-4
+
+
+def test_vqa_and_nlvr_heads():
+    from unilm_tpu.models.beit3 import (
+        BEiT3ForVisualQuestionAnswering,
+        BEiT3ForVisualReasoning,
+    )
+
+    cfg = tiny_cfg()
+    img = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 3))
+    txt = jax.random.randint(jax.random.PRNGKey(1), (2, 5), 4, 50)
+
+    vqa = BEiT3ForVisualQuestionAnswering(cfg, num_answers=11)
+    p = vqa.init(jax.random.PRNGKey(2), img, txt)["params"]
+    assert vqa.apply({"params": p}, img, txt).shape == (2, 11)
+
+    nlvr = BEiT3ForVisualReasoning(cfg)
+    p = nlvr.init(jax.random.PRNGKey(3), img, img, txt)["params"]
+    assert nlvr.apply({"params": p}, img, img, txt).shape == (2, 2)
+
+
+def test_segmentation_head():
+    from unilm_tpu.models.beit import BeitConfig
+    from unilm_tpu.models.segmentation import BeitForSemanticSegmentation, UperNetConfig
+
+    bcfg = BeitConfig(img_size=32, patch_size=8, embed_dim=32, num_layers=4,
+                      num_heads=4, ffn_dim=64, use_mean_pooling=False,
+                      use_flash=False)
+    cfg = UperNetConfig(beit=bcfg, out_indices=(0, 1, 2, 3), channels=32,
+                        num_classes=7)
+    m = BeitForSemanticSegmentation(cfg)
+    imgs = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 3))
+    p = m.init(jax.random.PRNGKey(1), imgs)["params"]
+    out = m.apply({"params": p}, imgs)
+    assert out.shape == (1, 32, 32, 7)

@@ -25,12 +25,14 @@ def scripted_model(table):
     def prefill(params, tokens, aux):
         B, P = tokens.shape
         logits = table[tokens[:, -1], P - 1][:, None, :]
-        return logits, {"step": jnp.full((B,), P, jnp.int32)}
+        return logits, {"step": jnp.asarray(P, jnp.int32)}  # scalar: shared
 
     def step(params, tokens, cache, aux):
         s = cache["step"]
-        logits = table[tokens[:, 0], s[0]][:, None, :]
-        return logits, {"step": s + 1}
+        B, T = tokens.shape
+        steps = s + jnp.arange(T)
+        logits = table[tokens, jnp.broadcast_to(steps[None], (B, T))]  # [B,T,V]
+        return logits, {"step": s + T}
 
     return prefill, step
 
@@ -166,3 +168,91 @@ def test_batch_independence():
     t2, s2 = beam_generate(cfg, prefill, step, None, jnp.zeros((3, 1), jnp.int32))
     np.testing.assert_allclose(s2[0], s1[0], atol=1e-5)
     np.testing.assert_array_equal(t2[0], t1[0])
+
+
+def test_aggressive_decoding_matches_greedy():
+    """GAD with a good draft must produce EXACTLY the greedy output with
+    fewer model calls (reference decoding/GAD draft-then-verify)."""
+    from unilm_tpu.runtime.generate import aggressive_generate
+
+    rng = np.random.RandomState(3)
+    table = rng.randn(V, 40, V).astype(np.float32) * 3
+    table[:, :, PAD] = -100
+    table[:, :, EOS] = -100  # run to max length for a deterministic compare
+    cfg = GenerationConfig(beam_size=1, max_new_tokens=24, pad=PAD, eos=EOS,
+                           vocab_size=V)
+    prefill, step = scripted_model(table)
+    prompt = jnp.zeros((1, 1), jnp.int32)
+    ref, _ = greedy_generate(cfg, prefill, step, None, prompt)
+    ref = np.asarray(ref)
+
+    # oracle draft: the greedy continuation itself, with an error every 7th
+    def draft_fn(accepted, need):
+        out = []
+        seq = list(accepted)
+        for i in range(need):
+            step_idx = len(seq) - 1
+            lp = table[seq[-1], step_idx]
+            tok = int(np.argmax(lp))
+            if (len(seq) + i) % 7 == 0:
+                tok = (tok + 1) % V  # inject draft errors
+            out.append(tok)
+            seq.append(tok)
+        return np.asarray(out)
+
+    got, calls = aggressive_generate(cfg, prefill, step, None, prompt, draft_fn,
+                                     block_size=8)
+    np.testing.assert_array_equal(np.asarray(got), ref)
+    assert calls < 24  # fewer sequential model calls than tokens generated
+
+
+def test_aggressive_decoding_with_real_model_cache():
+    """Cache rewind must work on real attention caches."""
+    import flax.linen as nn
+
+    from unilm_tpu.core import Decoder, TransformerConfig
+    from unilm_tpu.core.embedding import TextEmbedding
+    from unilm_tpu.runtime.generate import aggressive_generate
+
+    class LM(nn.Module):
+        @nn.compact
+        def __call__(self, tokens, mode="train", cache_size=0):
+            emb = TextEmbedding(V, 32, name="embed")
+            cfg = TransformerConfig(embed_dim=32, ffn_dim=64, num_layers=2,
+                                    num_heads=4, use_flash=False)
+            x = Decoder(cfg, name="dec")(emb(tokens), mode=mode,
+                                         cache_size=cache_size)
+            return emb.attend(x)
+
+    model = LM()
+    total = 20
+    toks = jnp.zeros((1, 1), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), toks)["params"]
+
+    def prefill(p, tokens, aux):
+        logits, v = model.apply({"params": p}, tokens, "prefill", total,
+                                mutable=["cache"])
+        return logits, v["cache"]
+
+    def step(p, tokens, cache, aux):
+        logits, v = model.apply({"params": p, "cache": cache}, tokens,
+                                "decode", total, mutable=["cache"])
+        return logits, v["cache"]
+
+    cfg = GenerationConfig(beam_size=1, max_new_tokens=total - 1, pad=PAD,
+                           eos=EOS, vocab_size=V)
+    ref, _ = greedy_generate(cfg, prefill, step, params, toks)
+
+    def perfect_draft(accepted, need):
+        # draft = continue greedily from the reference (simulates a strong
+        # drafter); every 5th token corrupted
+        ref_seq = list(np.asarray(ref[0]))
+        start = len(accepted)
+        out = ref_seq[start : start + need]
+        out = [(t + (1 if (start + i) % 5 == 0 else 0)) % V
+               for i, t in enumerate(out)]
+        return np.asarray(out)
+
+    got, calls = aggressive_generate(cfg, prefill, step, params, toks,
+                                     perfect_draft, block_size=6)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

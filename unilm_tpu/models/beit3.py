@@ -206,6 +206,45 @@ class BEiT3ForCaptioning(nn.Module):
         return nn.Dense(self.cfg.vocab_size, name="mlm_head")(text_out)
 
 
+class BEiT3ForVisualQuestionAnswering(nn.Module):
+    """beit3/modeling_finetune.py VQA: pooler over joint encoding -> 2-layer
+    classifier head (VQAv2 3129 answers)."""
+
+    cfg: BEiT3Config
+    num_answers: int = 3129
+
+    @nn.compact
+    def __call__(self, images, tokens, padding_mask=None, deterministic=True):
+        out, _ = BEiT3Model(self.cfg, name="beit3")(
+            textual_tokens=tokens, visual_images=images,
+            text_padding_mask=padding_mask, deterministic=deterministic,
+        )
+        pooled = Pooler(self.cfg.embed_dim, self.cfg.layernorm_eps, name="pooler")(out)
+        h = nn.Dense(self.cfg.embed_dim * 2, name="head_dense")(pooled)
+        h = nn.LayerNorm(epsilon=self.cfg.layernorm_eps, name="head_norm")(h)
+        h = jax.nn.gelu(h, approximate=False)
+        return nn.Dense(self.num_answers, name="head_out")(h)
+
+
+class BEiT3ForVisualReasoning(nn.Module):
+    """beit3 NLVR2: two images + one sentence -> joint cls features concat."""
+
+    cfg: BEiT3Config
+
+    @nn.compact
+    def __call__(self, image_a, image_b, tokens, padding_mask=None,
+                 deterministic=True):
+        model = BEiT3Model(self.cfg, name="beit3")
+        oa, _ = model(textual_tokens=tokens, visual_images=image_a,
+                      text_padding_mask=padding_mask, deterministic=deterministic)
+        ob, _ = model(textual_tokens=tokens, visual_images=image_b,
+                      text_padding_mask=padding_mask, deterministic=deterministic)
+        x = jnp.concatenate([oa[:, 0], ob[:, 0]], axis=-1)
+        h = nn.Dense(self.cfg.embed_dim, name="head_dense")(x)
+        h = jax.nn.gelu(h, approximate=False)
+        return nn.Dense(2, name="head_out")(h)
+
+
 def beit3_base(**kw) -> BEiT3Config:
     return BEiT3Config(**kw)
 

@@ -333,3 +333,87 @@ def generate(
     if cfg.beam_size > 1 and not cfg.sampling:
         return beam_generate(cfg, prefill, step, params, prompt, aux)
     return greedy_generate(cfg, prefill, step, params, prompt, aux, rng)
+
+
+# --------------------------------------------------------------------------- #
+# (Generalized) Aggressive Decoding — draft-verify parallel decoding
+# --------------------------------------------------------------------------- #
+
+
+def _rewind_cache(cache: Any, new_len: jax.Array) -> Any:
+    """Set every scalar int32 counter leaf (cache_index / pos / step) to
+    new_len. Stale KV entries beyond new_len are masked by kv_len and
+    overwritten by subsequent writes."""
+
+    def f(x):
+        if jnp.ndim(x) == 0 and jnp.issubdtype(jnp.asarray(x).dtype, jnp.integer):
+            return jnp.asarray(new_len, jnp.int32)
+        return x
+
+    return jax.tree.map(f, cache)
+
+
+def aggressive_generate(
+    cfg: GenerationConfig,
+    prefill: Callable,
+    step: Callable,
+    params: Any,
+    prompt: jax.Array,  # [1, P] (batch 1, like the reference CLI)
+    draft_fn: Callable[[jax.Array, int], jax.Array],  # (accepted, need) -> [1, D]
+    aux: Any = None,
+    block_size: int = 16,
+):
+    """(Generalized) Aggressive Decoding (reference decoding/GAD): verify a
+    drafted block in ONE decoder forward, accept the longest prefix that
+    matches greedy, take the model's correction token, rewind the cache and
+    repeat. Exact greedy output in ~O(len/avg_accept) sequential steps.
+
+    draft_fn receives the accepted sequence so far (host np array) and the
+    number of tokens to draft; GAD-for-translation drafts the remaining
+    source tokens (Aggressive Decoding); a small model gives speculative
+    decoding. Returns (tokens [1, P+max_new], num_model_calls)."""
+    import numpy as np
+
+    B, P = prompt.shape
+    assert B == 1, "aggressive decoding: batch 1 (per-sample accept lengths)"
+    total = P + cfg.max_new_tokens
+
+    logits, cache = prefill(params, prompt, aux)
+    first = int(jnp.argmax(logits[0, -1]))
+    accepted = list(np.asarray(prompt[0])) + [first]
+    calls = 1
+    if first == cfg.eos:
+        out = np.full((1, total), cfg.pad, np.int32)
+        out[0, : len(accepted)] = accepted
+        return jnp.asarray(out), calls
+
+    @jax.jit
+    def verify(params, cache, tokens, aux):
+        logits, cache = step(params, tokens, cache, aux)
+        return jnp.argmax(logits, axis=-1), cache
+
+    while len(accepted) < total:
+        need = min(block_size, total - len(accepted))
+        draft = np.asarray(draft_fn(np.asarray(accepted), need)).reshape(1, -1)
+        draft = draft[:, :need]
+        D = draft.shape[1]
+        # feed [last_accepted, draft]; output j predicts position len(acc)+j
+        x = jnp.asarray(
+            np.concatenate([[accepted[-1]], draft[0]]).reshape(1, -1), jnp.int32
+        )
+        greedy, cache = verify(params, cache, x, aux)
+        calls += 1
+        g = np.asarray(greedy[0])  # [D+1]
+        k = 0
+        while k < D and g[k] == draft[0, k] and draft[0, k] != cfg.eos:
+            k += 1
+        new_tokens = list(draft[0, :k]) + [int(g[k])]
+        accepted.extend(int(t) for t in new_tokens)
+        # cache holds KV for [last, draft...]: valid prefix = accepted tokens
+        cache = _rewind_cache(cache, jnp.asarray(len(accepted) - 1, jnp.int32))
+        if cfg.eos in new_tokens:
+            break
+
+    out = np.full((1, total), cfg.pad, np.int32)
+    out[0, : min(len(accepted), total)] = accepted[:total]
+    return jnp.asarray(out), calls
