@@ -274,3 +274,28 @@ def test_token_block_iterator_checkpointable():
     tail = [next(pipe2).tolist() for _ in range(12)]
     assert tail == ref[8:]
     assert all(len(b) == 7 for b in ref)
+
+
+def test_epoch_batch_iterator_resume():
+    data = [[i] * (i % 7 + 1) for i in range(23)]
+    def make():
+        return it.EpochBatchIterator(data, key=len, max_tokens=16, seed=3)
+
+    ref = make()
+    seq = []
+    for _ in range(2):
+        for b in ref.next_epoch_itr():
+            seq.append([x[0] for x in b])
+
+    # consume 5 batches, snapshot, resume in a fresh iterator
+    a = make()
+    gen = a.next_epoch_itr()
+    head = [[x[0] for x in next(gen)] for _ in range(5)]
+    state = a.state_dict()
+    b = make()
+    b.load_state_dict(state)
+    tail = []
+    for _ in range(2):
+        for bb in b.next_epoch_itr():
+            tail.append([x[0] for x in bb])
+    assert head + tail == seq

@@ -139,3 +139,29 @@ def test_unigpt_multimodal_forward_and_decode():
     )
     lg, cache = step(params, tokens[:, -1:], cache, None)
     assert lg.shape == (B, 1, 60)
+
+
+def test_kosmos2_clip_pipeline():
+    """Kosmos-2 preset end-to-end: CLIP tower -> resampler -> splice ->
+    decode (tiny dims)."""
+    from unilm_tpu.models.kosmos import ClipVisionConfig, UniGPTConfig, UniGPT
+
+    cfg = UniGPTConfig(
+        vocab_size=60, embed_dim=32, num_layers=2, num_heads=4, ffn_dim=64,
+        max_positions=64, subln=True, xpos_rel_pos=True, use_flash=False,
+        image_tower="clip", latent_query_num=4,
+        clip=ClipVisionConfig(img_size=16, patch_size=8, embed_dim=24,
+                              num_layers=1, num_heads=4, ffn_dim=48,
+                              use_flash=False),
+    )
+    model = UniGPT(cfg)
+    B, T = 1, 10
+    tokens = jax.random.randint(jax.random.PRNGKey(0), (B, T), 4, 60)
+    img_mask = jnp.zeros((B, T), bool).at[:, 2:6].set(True)
+    images = jax.random.normal(jax.random.PRNGKey(2), (B, 16, 16, 3))
+    params = model.init(jax.random.PRNGKey(1), tokens, images, img_mask)["params"]
+    logits = model.apply({"params": params}, tokens, images, img_mask)
+    assert logits.shape == (B, T, 60)
+    assert np.isfinite(np.asarray(logits)).all()
+    feats = model.apply({"params": params}, images, method=model.encode_image)
+    assert feats.shape == (B, 4, 32)

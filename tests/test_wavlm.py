@@ -91,3 +91,36 @@ def test_vit_fpn_backbone():
     assert feats["p3"].shape == (1, 8, 8, 16)
     assert feats["p4"].shape == (1, 4, 4, 16)
     assert feats["p5"].shape == (1, 2, 2, 16)
+
+
+def test_speecht5_asr_and_tts():
+    import jax
+    import jax.numpy as jnp
+
+    from unilm_tpu.models.speecht5 import SpeechT5Config, SpeechT5Model
+
+    cfg = SpeechT5Config(
+        vocab_size=50, hidden_size=32, enc_layers=1, dec_layers=1, num_heads=4,
+        ffn_dim=64, mel_bins=8, reduction_factor=2, speaker_dim=6,
+        conv_dim=(16, 16), conv_stride=(5, 2), conv_kernel=(10, 3),
+        max_positions=64, use_flash=False,
+    )
+    m = SpeechT5Model(cfg)
+    audio = jax.random.normal(jax.random.PRNGKey(0), (2, 400))
+    prev = jax.random.randint(jax.random.PRNGKey(1), (2, 6), 0, 50)
+    params = m.init(jax.random.PRNGKey(2), audio, prev)["params"]
+
+    logits = m.apply({"params": params}, audio, prev)
+    assert logits.shape == (2, 6, 50)
+
+    toks = jax.random.randint(jax.random.PRNGKey(3), (2, 7), 0, 50)
+    prev_mels = jax.random.normal(jax.random.PRNGKey(4), (2, 5, 8 * 2))
+    spk = jax.random.normal(jax.random.PRNGKey(5), (2, 6))
+    # tts params include postnet; init via method
+    variables = m.init(jax.random.PRNGKey(6), toks, prev_mels, spk,
+                       method=m.tts_forward)
+    before, after, stop = m.apply(variables, toks, prev_mels, spk,
+                                  method=m.tts_forward)
+    assert before.shape == (2, 10, 8)
+    assert after.shape == (2, 10, 8)
+    assert stop.shape == (2, 10)

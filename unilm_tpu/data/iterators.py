@@ -444,3 +444,61 @@ class PrefetchIterator(CheckpointableIterator):
 
     def close(self):
         self._stop_thread()
+
+
+class EpochBatchIterator:
+    """Resumable epoch-based batching over a map-style dataset (fairseq
+    EpochBatchIterator/CountingIterator equivalent): deterministic per-epoch
+    shuffle, batch_by_size bucketing via the native op, and
+    state_dict/load_state_dict carrying (epoch, batches consumed)."""
+
+    def __init__(self, dataset, key, max_tokens=0, max_sentences=0, seed=1,
+                 shuffle=True):
+        self._dataset = dataset
+        self._key = key
+        self._max_tokens = max_tokens
+        self._max_sentences = max_sentences
+        self._seed = seed
+        self._shuffle = shuffle
+        self.epoch = 1
+        self._consumed = 0
+
+    def _batches_for_epoch(self, epoch):
+        import numpy as np
+
+        from unilm_tpu import native
+
+        n = len(self._dataset)
+        order = np.arange(n)
+        if self._shuffle:
+            np.random.RandomState(self._seed + epoch).shuffle(order)
+        lengths = np.asarray([self._key(self._dataset[int(i)]) for i in order])
+        # sort within the shuffled order for tight padding, fairseq-style
+        srt = np.argsort(lengths, kind="stable")
+        order = order[srt]
+        batches = native.batch_by_size(
+            lengths[srt], max_tokens=self._max_tokens,
+            max_sentences=self._max_sentences,
+        )
+        out = [order[b] for b in batches]
+        if self._shuffle:
+            np.random.RandomState(self._seed + epoch + 57).shuffle(out)
+        return out
+
+    def next_epoch_itr(self):
+        batches = self._batches_for_epoch(self.epoch)
+        start = self._consumed
+        def gen():
+            for i in range(start, len(batches)):
+                self._consumed = i + 1
+                yield [self._dataset[int(j)] for j in batches[i]]
+            self.epoch += 1
+            self._consumed = 0
+        return gen()
+
+    def state_dict(self):
+        return {"epoch": self.epoch, "consumed": self._consumed}
+
+    def load_state_dict(self, state):
+        self.epoch = state["epoch"]
+        self._consumed = state["consumed"]
