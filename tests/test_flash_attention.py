@@ -132,3 +132,19 @@ def test_bf16():
     np.testing.assert_allclose(
         out.astype(jnp.float32), ref.astype(jnp.float32), atol=3e-2, rtol=3e-2
     )
+
+
+def test_triangular_causal_schedule():
+    """Opt-in triangular grid must match the reference exactly."""
+    import os
+
+    T = S = 160
+    q, k, v = rand(0, B, T, H, D), rand(1, B, S, H, D), rand(2, B, S, H, D)
+    os.environ["UNILM_TPU_TRI_FLASH"] = "1"
+    try:
+        out = fa.flash_attention(q, k, v, causal=True, interpret=True,
+                                 block_q=64, block_k=64)
+    finally:
+        del os.environ["UNILM_TPU_TRI_FLASH"]
+    ref = reference(q, k, v, causal=True)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)

@@ -255,10 +255,191 @@ def _flash_forward(
     return out[:, :, :T, :]
 
 
+
+
+def _tri_ij(t):
+    """Linear lower-triangle index -> (row block i, col block j), j <= i."""
+    tf = t.astype(jnp.float32)
+    i = jnp.floor((jnp.sqrt(8.0 * tf + 1.0) - 1.0) * 0.5).astype(jnp.int32)
+    # guard float-sqrt boundary error
+    tri = i * (i + 1) // 2
+    i = jnp.where(t < tri, i - 1, i)
+    tri = i * (i + 1) // 2
+    i = jnp.where(t - tri > i, i + 1, i)
+    j = t - i * (i + 1) // 2
+    return i, j
+
+
+def _flash_tri_kernel(
+    qoff_ref,
+    limit_ref,
+    q_ref,
+    k_ref,
+    v_ref,
+    *rest,
+    has_bias: bool,
+    has_mask: bool,
+    block_q: int,
+    block_k: int,
+):
+    """Causal flash over a SQUASHED lower-triangular grid: only the
+    nq*(nq+1)/2 visible blocks are scheduled (and DMA'd) at all — the dense
+    grid wastes nearly half its time fetching blocks it then skips."""
+    idx = 0
+    bias_ref = mask_ref = None
+    if has_bias:
+        bias_ref = rest[idx]; idx += 1
+    if has_mask:
+        mask_ref = rest[idx]; idx += 1
+    o_ref, acc_ref, m_ref, l_ref = rest[idx : idx + 4]
+
+    t = pl.program_id(2)
+    i, j = _tri_ij(t)
+    limit = limit_ref[0]
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    @pl.when(j * block_k < limit)
+    def _body():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if has_bias:
+            s = s + bias_ref[0, 0].astype(jnp.float32)
+        cols = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        keep = cols < limit
+        # causal masking only bites on the diagonal block (j < i: all valid)
+        rows = i * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        keep = jnp.logical_and(keep, jnp.logical_or(cols <= rows, j < i))
+        if has_mask:
+            keep = jnp.logical_and(keep, mask_ref[0, :][None, :] != 0)
+        s = jnp.where(keep, s, NEG_INF)
+
+        m_prev = m_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.where(keep, jnp.exp(s - m_new), 0.0)
+        alpha = jnp.exp(m_prev - m_new)
+        l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[:, :1] = m_new
+        pv = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[:] = acc_ref[:] * alpha + pv
+
+    @pl.when(j == i)
+    def _finish():
+        l = l_ref[:, :1]
+        out = acc_ref[:] / jnp.where(l > 0.0, l, 1.0)
+        o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+def _flash_forward_tri(
+    q, k, v, bias, mask, q_offset, limit, *, block: int, interpret: bool
+):
+    """Aligned square causal case (training/prefill from position 0)."""
+    B, H, T, D = q.shape
+    S = k.shape[2]
+    Tp = _cdiv(T, block) * block
+    if Tp != T:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, Tp - S), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, Tp - S), (0, 0)))
+    nblk = Tp // block
+    ntri = nblk * (nblk + 1) // 2
+    grid = (B, H, ntri)
+
+    def qmap(b, h, t, *_):
+        i, _ = _tri_ij(t)
+        return (b, h, i, 0)
+
+    def kmap(b, h, t, *_):
+        _, j = _tri_ij(t)
+        return (b, h, j, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, block, D), qmap),
+        pl.BlockSpec((1, 1, block, D), kmap),
+        pl.BlockSpec((1, 1, block, D), kmap),
+    ]
+    inputs = [q, k, v]
+    has_bias = bias is not None
+    has_mask = mask is not None
+    if has_bias:
+        if bias.shape[2] != Tp or bias.shape[3] != Tp:
+            bias = jnp.pad(
+                bias,
+                ((0, 0), (0, 0), (0, Tp - bias.shape[2]), (0, Tp - bias.shape[3])),
+            )
+        bb = bias.shape[0] > 1
+        hb = bias.shape[1] > 1
+
+        def bmap(b, h, t, *_, bb=bb, hb=hb):
+            i, j = _tri_ij(t)
+            return (b if bb else 0, h if hb else 0, i, j)
+
+        in_specs.append(pl.BlockSpec((1, 1, block, block), bmap))
+        inputs.append(bias.astype(jnp.float32))
+    if has_mask:
+        if mask.shape[1] != Tp:
+            mask = jnp.pad(mask, ((0, 0), (0, Tp - mask.shape[1])))
+
+        def mmap(b, h, t, *_):
+            _, j = _tri_ij(t)
+            return (b, j)
+
+        in_specs.append(pl.BlockSpec((1, block), mmap))
+        inputs.append(mask.astype(jnp.int32))
+
+    kernel = functools.partial(
+        _flash_tri_kernel,
+        has_bias=has_bias,
+        has_mask=has_mask,
+        block_q=block,
+        block_k=block,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, 1, block, D), qmap),
+            scratch_shapes=[
+                pltpu.VMEM((block, D), jnp.float32),
+                pltpu.VMEM((block, 128), jnp.float32),
+                pltpu.VMEM((block, 128), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, Tp, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * Tp * Tp * D,
+            bytes_accessed=q.size * 4 + k.size * 4 * 2,
+            transcendentals=B * H * Tp * Tp // 2,
+        ),
+        interpret=interpret,
+    )(q_offset, limit, *inputs)
+    return out[:, :, :T, :]
+
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11)
+    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12)
 )
-def _flash(q, k, v, bias, mask, q_offset, limit, causal, window, block_q, block_k, interpret):
+def _flash(q, k, v, bias, mask, q_offset, limit, causal, window, block_q, block_k,
+           interpret, tri=False):
+    if tri:
+        return _flash_forward_tri(
+            q, k, v, bias, mask, q_offset, limit, block=block_q,
+            interpret=interpret,
+        )
     return _flash_forward(
         q, k, v, bias, mask, q_offset, limit,
         causal=causal, window=window, block_q=block_q, block_k=block_k,
@@ -290,12 +471,14 @@ def _ref_attention(q, k, v, bias, mask, q_offset, limit, causal, window):
     )
 
 
-def _flash_fwd(q, k, v, bias, mask, q_offset, limit, causal, window, block_q, block_k, interpret):
-    out = _flash(q, k, v, bias, mask, q_offset, limit, causal, window, block_q, block_k, interpret)
+def _flash_fwd(q, k, v, bias, mask, q_offset, limit, causal, window, block_q,
+               block_k, interpret, tri=False):
+    out = _flash(q, k, v, bias, mask, q_offset, limit, causal, window, block_q,
+                 block_k, interpret, tri)
     return out, (q, k, v, bias, mask, q_offset, limit)
 
 
-def _flash_bwd(causal, window, block_q, block_k, interpret, res, g):
+def _flash_bwd(causal, window, block_q, block_k, interpret, tri, res, g):
     q, k, v, bias, mask, q_offset, limit = res
     def f(q, k, v, bias):
         return _ref_attention(q, k, v, bias, mask, q_offset, limit, causal, window)
@@ -351,7 +534,16 @@ def flash_attention(
     )
     mask = None if key_padding_mask is None else key_padding_mask.astype(jnp.int32)
 
+    # Triangular-grid causal schedule: measured perf-neutral vs the dense
+    # grid's pl.when skipping on v5e (PERFORMANCE.md), so opt-in only.
+    tri = bool(os.environ.get("UNILM_TPU_TRI_FLASH")) and bool(
+        causal and window == 0 and q_offset is None and kv_len is None and T == S
+    )
+    if tri:
+        block_q = block_k = min(block_q, block_k)
+
     out = _flash(
-        qt, kt, vt, bias, mask, qoff, limit, causal, window, block_q, block_k, interpret
+        qt, kt, vt, bias, mask, qoff, limit, causal, window, block_q, block_k,
+        interpret, tri
     )
     return out.swapaxes(1, 2)
