@@ -1,0 +1,152 @@
+"""(Multimodal) GPT pretraining loop — the kosmos-2 train.py equivalent.
+
+CLI-shim for the fairseq training stack (fairseq_cli/train.py:44-610 +
+kosmos-2/unilm/tasks/gpt_base.py): checkpointable streaming corpus
+(mmap binarized or raw text) -> token-block packing -> token-bucket batches
+-> jitted UniGPT train step (grad accum, clipping, schedules) -> orbax
+checkpoints carrying the data-stream position, with scoped metrics + JSONL
+logging. Resume is bit-exact (model + optimizer + stream).
+
+Text-only pretraining runs out of the box; image-text pretraining plugs
+image features through the same batch dict (see dryrun_multichip for the
+sharded multimodal step).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unilm_tpu.data import iterators as it
+from unilm_tpu.data.dictionary import Dictionary
+from unilm_tpu.data.indexed_dataset import MMapIndexedDataset, TokenBlockIterator
+from unilm_tpu.models.kosmos import UniGPT, UniGPTConfig
+from unilm_tpu.runtime import metrics as M
+from unilm_tpu.runtime.checkpoint import CheckpointManager
+from unilm_tpu.runtime.logging import JsonlLogger, find_nonfinite
+from unilm_tpu.runtime.optim import polynomial_decay_schedule
+from unilm_tpu.runtime.train import TrainState, cross_entropy_loss, make_train_step
+
+import optax
+
+
+def build_stream(args, dictionary):
+    if os.path.exists(args.data + ".idx"):
+        ds = MMapIndexedDataset(args.data)
+        docs = list(range(len(ds)))
+        src = it.InfinitePermutationSourceIterator(docs, seed=args.seed)
+        doc_iter = it.MapIterator(src, lambda i: ds[i])
+    else:  # raw text file: one doc per line
+        with open(args.data, encoding="utf-8") as f:
+            lines = [l.strip() for l in f if l.strip()]
+        src = it.InfinitePermutationSourceIterator(lines, seed=args.seed)
+        doc_iter = it.MapIterator(src, lambda l: dictionary.encode_line(
+            l, add_if_not_exist=False))
+    blocks = TokenBlockIterator(doc_iter, args.tokens_per_sample,
+                                eod=dictionary.eos())
+    return it.FixedBatchIterator(blocks, args.batch_size, drop_last=True)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("GPT pretraining (TPU)")
+    p.add_argument("--data", required=True, help="mmap prefix or text file")
+    p.add_argument("--dict", default="", help="fairseq dict.txt (text input)")
+    p.add_argument("--save_dir", default="./gpt_ckpt")
+    p.add_argument("--tokens_per_sample", type=int, default=2048)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--update_freq", type=int, default=1)
+    p.add_argument("--max_steps", type=int, default=1000)
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--warmup", type=int, default=375)
+    p.add_argument("--clip_norm", type=float, default=2.0)
+    p.add_argument("--save_every", type=int, default=200)
+    p.add_argument("--log_every", type=int, default=20)
+    p.add_argument("--seed", type=int, default=1)
+    # arch
+    p.add_argument("--dim", type=int, default=1536)
+    p.add_argument("--layers", type=int, default=24)
+    p.add_argument("--heads", type=int, default=16)
+    p.add_argument("--ffn", type=int, default=6144)
+    p.add_argument("--vocab", type=int, default=0, help="override vocab size")
+    p.add_argument("--moe_freq", type=int, default=0)
+    p.add_argument("--moe_experts", type=int, default=0)
+    p.add_argument("--remat", action="store_true")
+    p.add_argument("--bf16", action="store_true", default=True)
+    args = p.parse_args(argv)
+
+    dictionary = Dictionary.load(args.dict) if args.dict else Dictionary()
+    vocab = args.vocab or max(len(dictionary), 260)
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    cfg = UniGPTConfig(
+        vocab_size=vocab, embed_dim=args.dim, num_layers=args.layers,
+        num_heads=args.heads, ffn_dim=args.ffn,
+        max_positions=args.tokens_per_sample + 2,
+        subln=True, xpos_rel_pos=True, moe_freq=args.moe_freq,
+        moe_experts=args.moe_experts, remat=args.remat, dtype=dtype,
+    )
+    model = UniGPT(cfg)
+
+    stream = build_stream(args, dictionary)
+    dummy = jnp.zeros((args.batch_size, args.tokens_per_sample), jnp.int32)
+    params = jax.jit(lambda r: model.init(r, dummy)["params"])(
+        jax.random.PRNGKey(args.seed)
+    )
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    print(f"model: {n_params/1e6:.1f}M params, vocab {vocab}")
+
+    sched = polynomial_decay_schedule(args.lr, args.max_steps, args.warmup)
+    tx = optax.adamw(sched, b1=0.9, b2=0.98, weight_decay=0.01)
+    state = TrainState.create(params, tx)
+
+    def loss_fn(p, batch, rng):
+        logits = model.apply({"params": p}, batch)
+        s, n = cross_entropy_loss(logits[:, :-1], batch[:, 1:])
+        return s / n, {"ntok": n}
+
+    step_fn = jax.jit(make_train_step(
+        loss_fn, tx, clip_grad_norm=args.clip_norm,
+        microbatches=args.update_freq if args.update_freq > 1 else 1,
+    ))
+
+    mgr = CheckpointManager(args.save_dir, keep_last=3)
+    restored = mgr.restore(jax.eval_shape(lambda: state))
+    if restored:
+        state, data_state, _ = restored
+        if data_state:
+            stream.setstate(data_state)
+        print(f"resumed at step {int(state.step)}")
+
+    logger = JsonlLogger()
+    t0 = time.time()
+    while int(state.step) < args.max_steps:
+        blocks = next(stream)
+        batch = jnp.asarray(np.stack(blocks), jnp.int32)
+        if args.update_freq > 1:
+            batch = batch.reshape(args.update_freq, -1, batch.shape[-1])
+        state, m = step_fn(state, batch, jax.random.PRNGKey(int(state.step)))
+        s = int(state.step)
+        loss = float(m["loss"])
+        if not np.isfinite(loss):
+            bad = find_nonfinite(state.params)
+            raise FloatingPointError(f"non-finite loss at step {s}; params: {bad}")
+        M.log_scalar("loss", loss)
+        if s % args.log_every == 0:
+            tok_s = (args.batch_size * args.tokens_per_sample * args.log_every
+                     / (time.time() - t0))
+            logger.log({"loss": loss, "ppl": float(np.exp(min(loss, 20))),
+                        "gnorm": float(m["grad_norm"]), "lr": float(sched(s)),
+                        "tok_s": tok_s}, s)
+            t0 = time.time()
+        if s % args.save_every == 0 or s >= args.max_steps:
+            mgr.save(s, state, data_state=stream.getstate(),
+                     metrics={"loss": loss})
+    print("done")
+
+
+if __name__ == "__main__":
+    main()

@@ -225,6 +225,7 @@ class UniGPTConfig:
     moe_freq: int = 0  # X-MoE every Nth layer (kosmos xmoe arches)
     moe_experts: int = 0
     moe_top: int = 2
+    remat: bool = False  # --checkpoint-activations (kosmos-2 train.sh:50)
     # image tower: 'clip' (k2) | 'pix2struct' (k2.5) | None
     image_tower: Optional[str] = None
     latent_query_num: int = 64
@@ -241,7 +242,7 @@ class UniGPTConfig:
             xpos_rel_pos=self.xpos_rel_pos, scale_length=self.scale_length,
             activation=self.activation, dropout=self.dropout,
             moe_freq=self.moe_freq, moe_experts=self.moe_experts,
-            moe_top=self.moe_top,
+            moe_top=self.moe_top, remat=self.remat,
             dtype=self.dtype, use_flash=self.use_flash,
         )
 

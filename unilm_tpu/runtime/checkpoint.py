@@ -81,6 +81,9 @@ class CheckpointManager:
         subsumed by orbax's atomic commit; extra.json carries data/meta."""
         path = self._step_dir(step)
         self._ckptr.save(os.path.join(path, "state"), state, force=True)
+        # orbax saves asynchronously; block so the checkpoint is durable even
+        # if the process exits right after (and extra.json never precedes it)
+        self._ckptr.wait_until_finished()
         extra = {
             "step": step,
             "data_state": data_state,
@@ -111,12 +114,13 @@ class CheckpointManager:
         """Returns (state, data_state, metrics) or None if no checkpoint.
         abstract_state: pytree of jax.ShapeDtypeStruct (jax.eval_shape of the
         state constructor) — restores with correct shardings."""
-        if step is None:
-            step = self.latest_step()
-        if step is None:
-            return None
-        path = self._step_dir(step)
-        state = self._ckptr.restore(os.path.join(path, "state"), abstract_state)
-        with open(os.path.join(path, "extra.json")) as f:
-            extra = json.load(f)
-        return state, extra.get("data_state"), extra.get("metrics", {})
+        steps = [step] if step is not None else list(reversed(self.all_steps()))
+        for s in steps:
+            path = self._step_dir(s)
+            if not os.path.exists(os.path.join(path, "extra.json")):
+                continue  # incomplete save (crash mid-write): skip
+            state = self._ckptr.restore(os.path.join(path, "state"), abstract_state)
+            with open(os.path.join(path, "extra.json")) as f:
+                extra = json.load(f)
+            return state, extra.get("data_state"), extra.get("metrics", {})
+        return None
