@@ -88,3 +88,44 @@ def test_markuplm_parity():
         attention_mask=jnp.asarray(mask),
     )
     np.testing.assert_allclose(np.asarray(out), ref, atol=3e-4, rtol=1e-3)
+
+
+def test_layoutlmv2_forward_and_re_head():
+    from unilm_tpu.models.layoutlmv2 import (
+        LayoutLMv2Config,
+        LayoutLMv2ForTokenClassification,
+        RelationExtractionHead,
+    )
+
+    cfg = LayoutLMv2Config(
+        vocab_size=100, hidden_size=32, num_layers=2, num_heads=4, ffn_dim=64,
+        max_positions=80, coordinate_size=6, shape_size=4,
+        image_feature_pool_shape=(2, 2), backbone_channels=(8, 16),
+        num_labels=5, use_flash=False,
+    )
+    # concat spatial dims must sum to hidden: 4*6+2*4 = 32 ✓
+    rng = np.random.RandomState(0)
+    B, L = 2, 10
+    ids = rng.randint(1, 100, (B, L))
+    x0 = rng.randint(0, 500, (B, L, 1)); y0 = rng.randint(0, 500, (B, L, 1))
+    bbox = np.concatenate([x0, y0, x0 + 100, y0 + 100], -1)
+    imgs = rng.randn(B, 32, 32, 3).astype(np.float32)
+
+    m = LayoutLMv2ForTokenClassification(cfg)
+    p = m.init(jax.random.PRNGKey(0), jnp.asarray(ids), jnp.asarray(bbox),
+               images=jnp.asarray(imgs))["params"]
+    out = m.apply({"params": p}, jnp.asarray(ids), jnp.asarray(bbox),
+                  images=jnp.asarray(imgs))
+    assert out.shape == (B, L, 5)
+    assert np.isfinite(np.asarray(out)).all()
+    # no-image path shares params
+    out2 = m.apply({"params": p}, jnp.asarray(ids), jnp.asarray(bbox))
+    assert out2.shape == (B, L, 5)
+
+    re = RelationExtractionHead(hidden_size=32, num_relations=3)
+    seq = jnp.asarray(rng.randn(B, L, 32).astype(np.float32))
+    hidx = jnp.asarray(rng.randint(0, L, (B, 4)))
+    tidx = jnp.asarray(rng.randint(0, L, (B, 4)))
+    pr = re.init(jax.random.PRNGKey(1), seq, hidx, tidx)["params"]
+    logits = re.apply({"params": pr}, seq, hidx, tidx)
+    assert logits.shape == (B, 4, 3)
