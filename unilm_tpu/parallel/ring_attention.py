@@ -28,6 +28,14 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+
+def _pvary(x, axis_name):
+    """pvary with fallback across jax versions (pcast is the new name)."""
+    if hasattr(jax.lax, "pcast"):
+        return jax.lax.pcast(x, axis_name, to="varying")
+    return jax.lax.pvary(x, axis_name)
+
+
 NEG_INF = -1e30
 
 
@@ -75,9 +83,9 @@ def ring_attention(
         return (o, m, l, kc, vc), None
 
     # carries must be device-varying over the ring axis (shard_map vma check)
-    o0 = jax.lax.pvary(jnp.zeros((B, H, Tl, D), jnp.float32), axis_name)
-    m0 = jax.lax.pvary(jnp.full((B, H, Tl, 1), NEG_INF, jnp.float32), axis_name)
-    l0 = jax.lax.pvary(jnp.zeros((B, H, Tl, 1), jnp.float32), axis_name)
+    o0 = _pvary(jnp.zeros((B, H, Tl, D), jnp.float32), axis_name)
+    m0 = _pvary(jnp.full((B, H, Tl, 1), NEG_INF, jnp.float32), axis_name)
+    l0 = _pvary(jnp.zeros((B, H, Tl, 1), jnp.float32), axis_name)
     (o, m, l, _, _), _ = jax.lax.scan(
         body, (o0, m0, l0, k, v), jnp.arange(P)
     )
