@@ -162,3 +162,17 @@ def test_segmentation_head():
     p = m.init(jax.random.PRNGKey(1), imgs)["params"]
     out = m.apply({"params": p}, imgs)
     assert out.shape == (1, 32, 32, 7)
+
+
+def test_vlmo_heads():
+    from unilm_tpu.models.vlmo import VLMoForImageTextMatching, VLMoForMaskedLM
+
+    cfg = tiny_cfg()
+    img = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 3))
+    txt = jax.random.randint(jax.random.PRNGKey(1), (2, 5), 4, 50)
+    itm = VLMoForImageTextMatching(cfg)
+    p = itm.init(jax.random.PRNGKey(2), img, txt)["params"]
+    assert itm.apply({"params": p}, img, txt).shape == (2, 2)
+    mlm = VLMoForMaskedLM(cfg)
+    p = mlm.init(jax.random.PRNGKey(3), img, txt)["params"]
+    assert mlm.apply({"params": p}, img, txt).shape == (2, 5, 50)

@@ -106,3 +106,27 @@ def test_accuracy_topk():
     assert acc["acc2"] == 50.0
     acc3 = accuracy_topk(logits, labels, topk=(3,))
     assert acc3["acc3"] == 100.0
+
+
+def test_grounding_recall():
+    from unilm_tpu.scoring import box_iou, grounding_recall
+
+    assert box_iou((0, 0, 1, 1), (0, 0, 1, 1)) == 1.0
+    assert box_iou((0, 0, 1, 1), (2, 2, 3, 3)) == 0.0
+    preds = [[(0, 0, 1, 1)], [(0, 0, 0.1, 0.1)]]
+    refs = [(0, 0, 1, 1), (0.5, 0.5, 1, 1)]
+    assert grounding_recall(preds, refs) == 0.5
+
+
+def test_ocr_augment():
+    from PIL import Image
+
+    from unilm_tpu.data.ocr_aug import OCRAugment
+
+    img = Image.fromarray(np.uint8(np.random.RandomState(0).rand(40, 120, 3) * 255))
+    aug = OCRAugment(n_ops=3, seed=7)
+    out = aug(img)
+    assert out.size == img.size
+    # deterministic under the same seed
+    out2 = OCRAugment(n_ops=3, seed=7)(img)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))

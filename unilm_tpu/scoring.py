@@ -119,3 +119,27 @@ def accuracy_topk(logits: np.ndarray, labels: np.ndarray, topk=(1, 5)) -> Dict[s
         correct = (order[:, :k] == labels[:, None]).any(axis=1)
         out[f"acc{k}"] = float(correct.mean()) * 100.0
     return out
+
+
+def box_iou(a, b) -> float:
+    """IoU of two (x0, y0, x1, y1) boxes."""
+    ix0, iy0 = max(a[0], b[0]), max(a[1], b[1])
+    ix1, iy1 = min(a[2], b[2]), min(a[3], b[3])
+    inter = max(ix1 - ix0, 0.0) * max(iy1 - iy0, 0.0)
+    area = (a[2] - a[0]) * (a[3] - a[1]) + (b[2] - b[0]) * (b[3] - b[1]) - inter
+    return inter / area if area > 0 else 0.0
+
+
+def grounding_recall(
+    predictions: List[List[Tuple[float, float, float, float]]],
+    references: List[Tuple[float, float, float, float]],
+    iou_threshold: float = 0.5,
+    topk: int = 1,
+) -> float:
+    """R@k for phrase grounding (kosmos-2 flickr/refcoco evaluation
+    harnesses): prediction i's top-k boxes vs reference box i."""
+    hit = 0
+    for preds, ref in zip(predictions, references):
+        if any(box_iou(p, ref) >= iou_threshold for p in preds[:topk]):
+            hit += 1
+    return hit / max(len(references), 1)
