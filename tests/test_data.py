@@ -299,3 +299,51 @@ def test_epoch_batch_iterator_resume():
         for bb in b.next_epoch_itr():
             tail.append([x[0] for x in bb])
     assert head + tail == seq
+
+
+def test_document_dataset_builders(tmp_path):
+    """FUNSD/CORD/XFUND loaders on synthetic files in the public layouts."""
+    import json as _json
+
+    from PIL import Image
+
+    from unilm_tpu.data.document_datasets import load_cord, load_funsd, load_xfund
+
+    # --- FUNSD layout ---
+    (tmp_path / "funsd" / "annotations").mkdir(parents=True)
+    (tmp_path / "funsd" / "images").mkdir(parents=True)
+    Image.new("RGB", (200, 100)).save(tmp_path / "funsd" / "images" / "a.png")
+    ann = {"form": [{"label": "question", "words": [
+        {"text": "Name:", "box": [10, 10, 60, 30]}]},
+        {"label": "answer", "words": [
+            {"text": "Bob", "box": [70, 10, 110, 30]},
+            {"text": "Smith", "box": [115, 10, 160, 30]}]}]}
+    (tmp_path / "funsd" / "annotations" / "a.json").write_text(_json.dumps(ann))
+    ex = load_funsd(str(tmp_path / "funsd"))[0]
+    assert ex["words"] == ["Name:", "Bob", "Smith"]
+    assert ex["labels"] == ["B-QUESTION", "B-ANSWER", "I-ANSWER"]
+    assert all(0 <= c <= 1000 for b in ex["bboxes"] for c in b)
+    # segment-level: Bob and Smith share a box
+    assert ex["bboxes"][1] == ex["bboxes"][2]
+
+    # --- CORD layout ---
+    (tmp_path / "cord" / "json").mkdir(parents=True)
+    (tmp_path / "cord" / "image").mkdir(parents=True)
+    Image.new("RGB", (200, 100)).save(tmp_path / "cord" / "image" / "r.png")
+    cord = {"meta": {"image_size": {"width": 200, "height": 100}},
+            "valid_line": [{"category": "menu.nm", "words": [
+                {"text": "Latte", "quad": {"x1": 5, "y1": 5, "x3": 50, "y3": 20}}]}]}
+    (tmp_path / "cord" / "json" / "r.json").write_text(_json.dumps(cord))
+    ex = load_cord(str(tmp_path / "cord"))[0]
+    assert ex["words"] == ["Latte"]
+    assert ex["labels"] == ["B-MENU.NM"]
+
+    # --- XFUND layout ---
+    Image.new("RGB", (300, 200)).save(tmp_path / "x.jpg")
+    xf = {"documents": [{"img": {"fname": "x.jpg", "width": 300, "height": 200},
+                         "document": [{"box": [10, 10, 100, 40],
+                                       "label": "header",
+                                       "words": [{"text": "发票", "box": [10, 10, 50, 40]}]}]}]}
+    (tmp_path / "xf.json").write_text(_json.dumps(xf))
+    ex = load_xfund(str(tmp_path / "xf.json"), str(tmp_path))[0]
+    assert ex["labels"] == ["B-HEADER"]

@@ -29,52 +29,11 @@ from unilm_tpu.data.transforms import (
     resize,
     to_numpy,
 )
+from unilm_tpu.data.document_datasets import FUNSD_LABELS as LABELS, load_funsd
 from unilm_tpu.models.layoutlmv3 import LayoutLMv3Config, LayoutLMv3ForTokenClassification
 from unilm_tpu.scoring import entity_f1
 
-LABELS = ["O", "B-HEADER", "I-HEADER", "B-QUESTION", "I-QUESTION", "B-ANSWER", "I-ANSWER"]
-
-
-def normalize_bbox(box, w, h):
-    return [
-        int(1000 * box[0] / w), int(1000 * box[1] / h),
-        int(1000 * box[2] / w), int(1000 * box[3] / h),
-    ]
-
-
-def load_funsd_split(root: str):
-    """funsd.py:44-123 _generate_examples with segment-level get_line_bbox."""
-    ann_dir = os.path.join(root, "annotations")
-    img_dir = os.path.join(root, "images")
-    examples = []
-    for fn in sorted(os.listdir(ann_dir)):
-        with open(os.path.join(ann_dir, fn), encoding="utf-8") as f:
-            data = json.load(f)
-        img_path = os.path.join(img_dir, fn.replace(".json", ".png"))
-        from PIL import Image
-
-        with Image.open(img_path) as im:
-            w, h = im.size
-        words, bboxes, labels = [], [], []
-        for item in data["form"]:
-            ws = [x for x in item["words"] if x["text"].strip()]
-            if not ws:
-                continue
-            # segment-level box: union of word boxes (get_line_bbox :85)
-            xs = [c for x in ws for c in (x["box"][0], x["box"][2])]
-            ys = [c for x in ws for c in (x["box"][1], x["box"][3])]
-            seg_box = normalize_bbox([min(xs), min(ys), max(xs), max(ys)], w, h)
-            label = item["label"].upper()
-            for i, x in enumerate(ws):
-                words.append(x["text"])
-                bboxes.append(seg_box)
-                if label == "OTHER":
-                    labels.append("O")
-                else:
-                    labels.append(("B-" if i == 0 else "I-") + label)
-        examples.append({"words": words, "bboxes": bboxes, "labels": labels,
-                         "image": img_path})
-    return examples
+load_funsd_split = load_funsd
 
 
 def tokenize_and_align(tok, example, max_len: int):
