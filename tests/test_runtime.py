@@ -179,3 +179,46 @@ def test_jsonl_logger(tmp_path):
 
     rec = json.loads(p.read_text().strip())
     assert rec["loss"] == 1.5 and rec["step"] == 3
+
+
+def test_mlm_masking_and_loss():
+    from unilm_tpu.runtime.criterions import (
+        apply_mlm_mask,
+        label_smoothed_nll_loss,
+        masked_lm_loss,
+        mim_loss,
+    )
+
+    rng = jax.random.PRNGKey(0)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (4, 64), 4, 100)
+    tokens = tokens.at[:, 0].set(0)  # bos: special, never masked
+    corrupted, labels = apply_mlm_mask(rng, tokens, mask_token_id=103,
+                                       vocab_size=100, mask_prob=0.2)
+    sel = np.asarray(labels != -100)
+    frac = sel.mean()
+    assert 0.1 < frac < 0.32  # around mask_prob
+    assert not sel[:, 0].any()  # specials untouched
+    # ~80% of selected are [MASK]
+    masked = np.asarray(corrupted == 103) & sel
+    assert masked.sum() / max(sel.sum(), 1) > 0.6
+    # unselected positions unchanged
+    np.testing.assert_array_equal(
+        np.asarray(corrupted)[~sel], np.asarray(tokens)[~sel]
+    )
+
+    logits = jax.random.normal(jax.random.PRNGKey(2), (4, 64, 100))
+    loss, n = masked_lm_loss(logits, labels)
+    assert float(n) == sel.sum()
+    assert np.isfinite(float(loss))
+
+    # perfect logits -> ~0 loss
+    perfect = jax.nn.one_hot(tokens, 100) * 100.0
+    l0, _ = masked_lm_loss(perfect, labels)
+    assert float(l0) < 1e-3
+
+    mloss, mn = mim_loss(logits, tokens, jnp.asarray(sel))
+    assert float(mn) == sel.sum()
+
+    sl, ss = label_smoothed_nll_loss(logits, tokens, epsilon=0.1)
+    assert float(ss) == 4 * 64
+    assert np.isfinite(float(sl))
