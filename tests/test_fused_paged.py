@@ -1,0 +1,96 @@
+"""Fused Pallas elementwise kernels + paged KV cache tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unilm_tpu.ops.fused import rotary_apply, swiglu
+from unilm_tpu.runtime.paged_kv import PagedKVConfig, PagePool, paged_attention
+
+
+def test_swiglu_matches_jnp():
+    g = jax.random.normal(jax.random.PRNGKey(0), (3, 50, 128))
+    u = jax.random.normal(jax.random.PRNGKey(1), (3, 50, 128))
+    out = swiglu(g, u, interpret=True)
+    ref = jax.nn.silu(g) * u
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_rotary_matches_reference():
+    from unilm_tpu.models.yoco import apply_rotary, rotary_sin_cos
+
+    B, T, H, D = 2, 24, 4, 32
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, T, H, D))
+    sin, cos = rotary_sin_cos(jnp.arange(T), D)
+    out = rotary_apply(x, sin, cos, interpret=True)
+    ref = apply_rotary(x, sin, cos)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+class TestPagedKV:
+    def make(self):
+        cfg = PagedKVConfig(num_pages=16, page_size=4, num_heads=2, head_dim=8,
+                            max_pages_per_seq=6, dtype=jnp.float32)
+        return cfg, PagePool(cfg)
+
+    def test_allocator_and_append(self):
+        cfg, pool = self.make()
+        pool.create("a")
+        pool.create("b")
+        ka = jax.random.normal(jax.random.PRNGKey(0), (10, 2, 8))
+        pool.append("a", ka, ka + 1)
+        assert pool.length("a") == 10
+        assert pool.pages_in_use == 3  # ceil(10/4)
+        kb = jax.random.normal(jax.random.PRNGKey(1), (3, 2, 8))
+        pool.append("b", kb, kb)
+        assert pool.pages_in_use == 4
+        pool.free("a")
+        assert pool.pages_in_use == 1
+
+    def test_paged_attention_matches_dense(self):
+        from unilm_tpu.ops.attention import dot_product_attention
+
+        cfg, pool = self.make()
+        rng = np.random.RandomState(0)
+        lens = [9, 5]
+        ks, vs = [], []
+        for i, (sid, L) in enumerate(zip("ab", lens)):
+            pool.create(sid)
+            k = jnp.asarray(rng.randn(L, 2, 8).astype(np.float32))
+            v = jnp.asarray(rng.randn(L, 2, 8).astype(np.float32))
+            pool.append(sid, k, v)
+            ks.append(k)
+            vs.append(v)
+
+        q = jnp.asarray(rng.randn(2, 1, 2, 8).astype(np.float32))
+        tables = jnp.asarray(np.stack([pool.block_table("a"), pool.block_table("b")]))
+        lengths = jnp.asarray(lens)
+        out = paged_attention(q, pool.k_pool, pool.v_pool, tables, lengths)
+
+        for i in range(2):
+            ref = dot_product_attention(
+                q[i : i + 1], ks[i][None], vs[i][None]
+            )
+            np.testing.assert_allclose(
+                np.asarray(out[i]), np.asarray(ref[0]), atol=1e-5
+            )
+
+    def test_incremental_append_consistency(self):
+        """Appending in chunks must equal appending at once."""
+        cfg, pool = self.make()
+        rng = np.random.RandomState(1)
+        k = jnp.asarray(rng.randn(7, 2, 8).astype(np.float32))
+        pool.create("x")
+        pool.append("x", k[:3], k[:3])
+        pool.append("x", k[3:], k[3:])
+        table = jnp.asarray(pool.block_table("x"))[None]
+        q = jnp.asarray(rng.randn(1, 1, 2, 8).astype(np.float32))
+        out = paged_attention(q, pool.k_pool, pool.v_pool, table, jnp.asarray([7]))
+
+        cfg2, pool2 = self.make()
+        pool2.create("x")
+        pool2.append("x", k, k)
+        out2 = paged_attention(q, pool2.k_pool, pool2.v_pool,
+                               jnp.asarray(pool2.block_table("x"))[None],
+                               jnp.asarray([7]))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-6)
