@@ -94,3 +94,28 @@ class TestPagedKV:
                                jnp.asarray(pool2.block_table("x"))[None],
                                jnp.asarray([7]))
         np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-6)
+
+
+def test_pallas_paged_decode_matches_xla():
+    from unilm_tpu.ops.paged_attention import paged_decode_attention
+
+    cfg = PagedKVConfig(num_pages=12, page_size=8, num_heads=4, head_dim=16,
+                        max_pages_per_seq=4, dtype=jnp.float32)
+    pool = PagePool(cfg)
+    rng = np.random.RandomState(0)
+    lens = [19, 7, 25]
+    for sid, L in zip("abc", lens):
+        pool.create(sid)
+        k = jnp.asarray(rng.randn(L, 4, 16).astype(np.float32)) * 0.5
+        v = jnp.asarray(rng.randn(L, 4, 16).astype(np.float32)) * 0.5
+        pool.append(sid, k, v)
+
+    q = jnp.asarray(rng.randn(3, 1, 4, 16).astype(np.float32)) * 0.5
+    tables = jnp.asarray(np.stack([pool.block_table(s) for s in "abc"]))
+    lengths = jnp.asarray(lens)
+
+    ref = paged_attention(q, pool.k_pool, pool.v_pool, tables, lengths)
+    out = paged_decode_attention(q, pool.k_pool, pool.v_pool, tables, lengths,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=1e-4)
