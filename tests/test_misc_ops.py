@@ -125,3 +125,28 @@ def test_aot_export_roundtrip():
     out1 = np.asarray(fn(img))
     out2 = np.asarray(rehydrated.call(img))
     np.testing.assert_allclose(out1, out2, atol=1e-6)
+
+
+def test_model_registry():
+    import jax
+    import jax.numpy as jnp
+
+    from unilm_tpu.models import registry
+
+    assert "beit_base_patch16_224" in registry.names()
+    assert "kosmos2_5" in registry.names()
+    assert len(registry.names()) >= 20
+
+    cfg, model = registry.build("beit_base_patch16_224", num_classes=5,
+                                img_size=32, patch_size=8, embed_dim=32,
+                                num_layers=1, num_heads=4, ffn_dim=64,
+                                use_flash=False)
+    img = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 3))
+    p = model.init(jax.random.PRNGKey(1), img)["params"]
+    assert model.apply(p if "params" in p else {"params": p}, img).shape == (1, 5)
+
+    try:
+        registry.build("nope")
+        assert False
+    except KeyError as e:
+        assert "unknown architecture" in str(e)

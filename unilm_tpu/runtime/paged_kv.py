@@ -105,9 +105,24 @@ def paged_attention(
     block_tables: jax.Array,  # [B, max_pages] int32
     lengths: jax.Array,  # [B] valid token counts
     scale: Optional[float] = None,
+    use_kernel: Optional[bool] = None,
 ) -> jax.Array:
-    """Ragged decode attention over paged KV. XLA formulation: gather each
-    sequence's pages into [B, max_pages*page, H, D] and mask by length."""
+    """Ragged decode attention over paged KV. Dispatches to the Pallas
+    block-table-walking kernel on TPU (ops/paged_attention.py); the XLA
+    formulation gathers each sequence's pages into [B, max_pages*page, H, D]
+    and masks by length."""
+    if use_kernel is None:
+        import os
+
+        use_kernel = (jax.default_backend() == "tpu"
+                      and not os.environ.get("UNILM_TPU_DISABLE_PAGED_KERNEL"))
+    if use_kernel:
+        from unilm_tpu.ops.paged_attention import paged_decode_attention
+
+        return paged_decode_attention(
+            q, k_pool, v_pool, block_tables, lengths, scale=scale,
+            interpret=False,
+        )
     B = q.shape[0]
     P, page, H, D = k_pool.shape
     k = k_pool[block_tables]  # [B, max_pages, page, H, D]
