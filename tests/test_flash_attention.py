@@ -121,6 +121,74 @@ def test_grad_matches_reference():
         np.testing.assert_allclose(a, b, atol=5e-4, rtol=1e-3)
 
 
+@pytest.mark.parametrize(
+    "causal,window,with_mask,with_bias",
+    [
+        (False, 0, False, False),
+        (True, 0, False, False),
+        (True, 64, False, False),
+        (False, 0, True, False),
+        (True, 0, False, True),   # full [B,H,T,S] bias -> Pallas dbias
+    ],
+)
+def test_grad_pallas_backward(causal, window, with_mask, with_bias):
+    """Pallas backward kernels (dq/dk/dv [+dbias]) vs XLA autodiff."""
+    T = S = 160
+    q, k, v = rand(0, B, T, H, D), rand(1, B, S, H, D), rand(2, B, S, H, D)
+    bias = rand(3, B, H, T, S) if with_bias else None
+    kpm = (
+        jnp.ones((B, S), bool).at[0, 120:].set(False).at[1, 30:50].set(False)
+        if with_mask else None
+    )
+
+    def loss_flash(q, k, v, bias):
+        return jnp.sum(
+            fa.flash_attention(
+                q, k, v, bias=bias, key_padding_mask=kpm, causal=causal,
+                window=window, interpret=True, block_q=64, block_k=64,
+            ) ** 2
+        )
+
+    def loss_ref(q, k, v, bias):
+        return jnp.sum(
+            reference(q, k, v, bias=bias, kpm=kpm, causal=causal, window=window) ** 2
+        )
+
+    args = (q, k, v, bias) if with_bias else (q, k, v, None)
+    nargs = 4 if with_bias else 3
+    gf = jax.grad(lambda *a: loss_flash(*a, *(() if with_bias else (None,))),
+                  argnums=tuple(range(nargs)))(*args[:nargs])
+    gr = jax.grad(lambda *a: loss_ref(*a, *(() if with_bias else (None,))),
+                  argnums=tuple(range(nargs)))(*args[:nargs])
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(a, b, atol=5e-4, rtol=1e-3)
+
+
+def test_grad_pallas_backward_prefill_offset():
+    """Backward through the q_offset/kv_len prefill path."""
+    S, T = 256, 64
+    q = rand(0, B, T, H, D)
+    k, v = rand(1, B, S, H, D), rand(2, B, S, H, D)
+    kv_len = jnp.asarray(160, jnp.int32)
+    q_offset = jnp.asarray(96, jnp.int32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(
+            fa.flash_attention(
+                q, k, v, causal=True, q_offset=q_offset, kv_len=kv_len,
+                interpret=True, block_q=64, block_k=64,
+            ) ** 2
+        )
+
+    def loss_ref(q, k, v):
+        return jnp.sum(reference(q, k, v, causal=True, q_offset=96, kv_len=160) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(a, b, atol=5e-4, rtol=1e-3)
+
+
 def test_bf16():
     T = S = 128
     q = rand(0, B, T, H, D).astype(jnp.bfloat16)
