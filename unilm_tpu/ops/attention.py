@@ -20,6 +20,10 @@ import jax.numpy as jnp
 NEG_INF = -1e30  # large-negative instead of -inf: keeps softmax NaN-free
 
 
+def fa_on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
 def make_causal_mask(q_positions: jax.Array, k_positions: jax.Array) -> jax.Array:
     """Bool [T, S]; True = may attend (k_pos <= q_pos)."""
     return k_positions[None, :] <= q_positions[:, None]
@@ -90,14 +94,36 @@ def attention(
     B, T, H, D = q.shape
     S = k.shape[1]
 
-    # Measured crossover on v5e (PERFORMANCE.md): XLA attention wins below
-    # ~1K keys (flash's block padding + grid overhead dominate); flash wins
-    # at long S and always for sliding windows (avoids O(T*S) HBM traffic).
-    profitable = S >= 1024 or (window and window > 0)
-    if use_flash and profitable and dropout_rate == 0.0 and T > 8:
+    # Measured crossover on v5e (PERFORMANCE.md): the blocked flash grid wins
+    # at long S and always for sliding windows (avoids O(T*S) HBM traffic);
+    # below ~1K keys the one-pass fused kernel (whole-S-in-VMEM, grid over
+    # batch) beats the XLA path, which is HBM-bound on materialized logits.
+    if use_flash and dropout_rate == 0.0 and T > 8:
         from unilm_tpu.ops import flash_attention as fa
 
-        if fa.is_available() and fa.supports(q, k, bias, window):
+        # Encoder hot path (BEiT/ViT/LayoutLMv3): non-causal, full kv, no
+        # key-padding mask, short S -> layout-native fused kernel with no
+        # transposes around the pallas call.
+        if (
+            not causal
+            and not window
+            and key_padding_mask is None
+            and kv_len is None
+            and q_offset is None
+            and S < 1024
+            and fa.is_available()
+            and fa.supports(q, k, bias, window)
+            and fa._onepass_profitable(B, H, T, S, D, bias, window)
+        ):
+            return fa.fused_encoder_attention(
+                q, k, v, bias,
+                scale if scale is not None else D**-0.5,
+                not fa_on_tpu(),
+            )
+
+        profitable = S >= 1024 or (window and window > 0)
+
+        if profitable and fa.is_available() and fa.supports(q, k, bias, window):
             return fa.flash_attention(
                 q,
                 k,

@@ -457,12 +457,347 @@ def _flash_forward_tri(
     )(q_offset, limit, *inputs)
     return out[:, :, :T, :], lse[:, :, :T, 0]
 
+def _vit_kernel(
+    q_ref,  # [1, Tp, H*D] (natural projection layout — no transpose)
+    k_ref,  # [1, Sp, H*D]
+    v_ref,
+    *rest,
+    num_heads: int, head_dim: int, scale: float, has_bias: bool,
+):
+    """Layout-native fused encoder attention (ViT/BEiT/LayoutLMv3 shapes).
+
+    One grid step per batch item; heads are lane-slices of the natural
+    [T, H*D] projection output, so the kernel needs NO [B,H,T,D] transposes
+    around it (measured ~1.5 ms/layer of relayout in-model at BEiT-B
+    shapes). Scale and log2(e) are folded into the per-head q slice; the
+    softmax runs in the log2 domain on the VMEM-resident score plane.
+    kv padding is pre-folded into the (resident) bias; fully fast path only:
+    non-causal, full kv, no key-padding mask.
+    """
+    bias_ref = rest[0] if has_bias else None
+    o_ref = rest[1] if has_bias else rest[0]
+    LOG2E = 1.4426950408889634
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        qh = q_ref[0, :, sl] * jnp.asarray(scale * LOG2E, q_ref.dtype)
+        s = jax.lax.dot_general(
+            qh, k_ref[0, :, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [Tp, Sp]
+        if has_bias:
+            # bias is pre-scaled by log2(e) and pre-masked outside
+            s = s + bias_ref[0, h if bias_ref.shape[1] > 1 else 0]
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, :, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, sl] = (o / l).astype(o_ref.dtype)
+
+
+def _vit_forward(q, k, v, bias, scale, interpret):
+    """[B, T, H, D] inputs; non-causal full-kv fused attention."""
+    B, T, H, D = q.shape
+    S = k.shape[1]
+    Tp = _cdiv(T, 8) * 8
+    Sp = _cdiv(S, 8) * 8
+    qf = q.reshape(B, T, H * D)
+    kf = k.reshape(B, S, H * D)
+    vf = v.reshape(B, S, H * D)
+    if Tp != T:
+        qf = jnp.pad(qf, ((0, 0), (0, Tp - T), (0, 0)))
+    if Sp != S:
+        kf = jnp.pad(kf, ((0, 0), (0, Sp - S), (0, 0)))
+        vf = jnp.pad(vf, ((0, 0), (0, Sp - S), (0, 0)))
+
+    LOG2E = 1.4426950408889634
+    if bias is None and Sp != S:
+        colmask = jnp.where(jnp.arange(Sp) < S, 0.0, NEG_INF).astype(jnp.float32)
+        bias = jnp.broadcast_to(colmask[None, None, None, :], (1, 1, Tp, Sp))
+    elif bias is not None:
+        bias = bias.astype(jnp.float32) * LOG2E
+        if bias.shape[2] != Tp or bias.shape[3] != Sp:
+            bias = jnp.pad(
+                bias,
+                ((0, 0), (0, 0), (0, Tp - bias.shape[2]), (0, Sp - bias.shape[3])),
+                constant_values=NEG_INF,
+            )
+    has_bias = bias is not None
+
+    in_specs = [
+        pl.BlockSpec((1, Tp, H * D), lambda b: (b, 0, 0)),
+        pl.BlockSpec((1, Sp, H * D), lambda b: (b, 0, 0)),
+        pl.BlockSpec((1, Sp, H * D), lambda b: (b, 0, 0)),
+    ]
+    inputs = [qf, kf, vf]
+    if has_bias:
+        bb = bias.shape[0] > 1
+        in_specs.append(
+            pl.BlockSpec(
+                (1, bias.shape[1], Tp, Sp),
+                lambda b, *, bb=bb: (b if bb else 0, 0, 0, 0),
+            )
+        )
+        inputs.append(bias)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _vit_kernel, num_heads=H, head_dim=D, scale=scale, has_bias=has_bias,
+        ),
+        grid_spec=pl.GridSpec(
+            grid=(B,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, Tp, H * D), lambda b: (b, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Tp, H * D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * Tp * Sp * D,
+            bytes_accessed=(qf.size + kf.size * 2) * 2,
+            transcendentals=B * H * Tp * Sp,
+        ),
+        interpret=interpret,
+    )(*inputs)
+    return out[:, :T].reshape(B, T, H, D)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def fused_encoder_attention(q, k, v, bias, scale, interpret=False):
+    """Non-causal full-kv fused attention on [B, T, H, D] (encoder hot path).
+
+    No transposes: heads are lane-slices of the projection output. Backward
+    is the dense XLA recompute (these are short-sequence shapes where the
+    dense backward is cheap and bias gradients may need broadcast reduction).
+    """
+    return _vit_forward(q, k, v, bias, scale, interpret)
+
+
+def _vit_ref(q, k, v, bias, scale):
+    logits = jnp.einsum(
+        "bthd,bshd->bhts", q * scale, k, preferred_element_type=jnp.float32
+    )
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum(
+        "bhts,bshd->bthd", probs, v, preferred_element_type=jnp.float32
+    ).astype(q.dtype)
+
+
+def _vit_fwd(q, k, v, bias, scale, interpret=False):
+    return _vit_forward(q, k, v, bias, scale, interpret), (q, k, v, bias)
+
+
+def _vit_bwd(scale, interpret, res, g):
+    q, k, v, bias = res
+    if bias is None:
+        _, vjp = jax.vjp(lambda q, k, v: _vit_ref(q, k, v, None, scale), q, k, v)
+        return (*vjp(g), None)
+    _, vjp = jax.vjp(lambda q, k, v, b: _vit_ref(q, k, v, b, scale), q, k, v, bias)
+    return vjp(g)
+
+
+fused_encoder_attention.defvjp(_vit_fwd, _vit_bwd)
+
+
+def _onepass_kernel(
+    qoff_ref, limit_ref,
+    q_ref,  # [1, H, Tp, D]
+    k_ref,  # [1, H, Sp, D]
+    v_ref,
+    *rest,
+    causal: bool, window: int, has_bias: bool, has_mask: bool,
+    num_heads: int, t_pad: int, s_pad: int, fast: bool,
+):
+    """Short-sequence fused attention: one grid step per batch item, all
+    heads looped in-kernel, the whole [Tp, Sp] score plane held in VMEM.
+
+    Replaces the reference's plain bmm+softmax hot loop for ViT-class
+    shapes (beit/modeling_finetune.py:120-139): at T≈200 the blocked flash
+    grid is per-step-overhead bound (measured 6.4 TF/s) and the XLA path is
+    HBM-bound on materialized [B,H,T,S] logits; this kernel keeps logits
+    in VMEM and keeps the (head-broadcast) bias resident across the whole
+    batch sweep.
+    """
+    idx = 0
+    bias_ref = mask_ref = None
+    if has_bias:
+        bias_ref = rest[idx]; idx += 1
+    if has_mask:
+        mask_ref = rest[idx]; idx += 1
+    o_ref, lse_ref = rest[idx], rest[idx + 1]
+
+    # Fast path (set by the wrapper: full static kv, no causal/window/mask):
+    # column masking for kv padding is pre-folded into the padded bias, so
+    # the per-element cost is one add + one exp.
+    if not fast:
+        qoff = qoff_ref[0]
+        limit = limit_ref[0]
+        rows = qoff + jax.lax.broadcasted_iota(jnp.int32, (t_pad, s_pad), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (t_pad, s_pad), 1)
+        keep = cols < limit
+        if causal:
+            keep = jnp.logical_and(keep, cols <= rows)
+        if window > 0:
+            keep = jnp.logical_and(keep, rows - cols < window)
+        if has_mask:
+            keep = jnp.logical_and(keep, mask_ref[0, :][None, :] != 0)
+
+    for h in range(num_heads):
+        s = jax.lax.dot_general(
+            q_ref[0, h], k_ref[0, h], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [Tp, Sp]
+        if has_bias:
+            s = s + bias_ref[0, h if bias_ref.shape[1] > 1 else 0]
+        if fast:
+            # log2-domain softmax: exp2 is the native VPU op (exp costs an
+            # extra multiply per element when lowered); scale s once, emit
+            # lse back in the natural domain for the backward kernels.
+            s2 = s * 1.4426950408889634
+            m = jnp.max(s2, axis=1, keepdims=True)
+            p = jnp.exp2(s2 - m)
+            l = jnp.sum(p, axis=1, keepdims=True)
+            o = jax.lax.dot_general(
+                p.astype(v_ref.dtype), v_ref[0, h], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            o_ref[0, h] = (o / l).astype(o_ref.dtype)
+            lse_ref[0, h] = (m + jnp.log2(l)) * 0.6931471805599453
+            continue
+        s = jnp.where(keep, s, NEG_INF)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.where(keep, jnp.exp(s - m), 0.0)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, h], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, h] = (o / jnp.where(l > 0.0, l, 1.0)).astype(o_ref.dtype)
+        lse_ref[0, h] = jnp.where(
+            l > 0.0, m + jnp.log(jnp.maximum(l, 1e-37)), 0.0
+        )
+
+
+def _flash_forward_onepass(
+    q, k, v, bias, mask, q_offset, limit, *, causal, window, full_kv, interpret,
+):
+    """[B, H, T, D] pre-scaled q; whole-S-in-VMEM fused attention."""
+    B, H, T, D = q.shape
+    S = k.shape[2]
+    Tp = _cdiv(T, 8) * 8
+    Sp = _cdiv(S, 128) * 128  # lane-dim of the score plane: keep it aligned
+    if Tp != T:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
+    if Sp != S:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
+
+    in_specs = [
+        pl.BlockSpec((1, H, Tp, D), lambda b, *_: (b, 0, 0, 0)),
+        pl.BlockSpec((1, H, Sp, D), lambda b, *_: (b, 0, 0, 0)),
+        pl.BlockSpec((1, H, Sp, D), lambda b, *_: (b, 0, 0, 0)),
+    ]
+    inputs = [q, k, v]
+    has_mask = mask is not None
+    fast = full_kv and not causal and window == 0 and not has_mask
+    if fast and bias is None and Sp != S:
+        # fold kv-padding masking into a bias so the kernel's fast path has
+        # no masking work: [1, 1, Tp, Sp] with -inf on padded columns
+        colmask = jnp.where(jnp.arange(Sp) < S, 0.0, NEG_INF).astype(jnp.float32)
+        bias = jnp.broadcast_to(colmask[None, None, None, :], (1, 1, Tp, Sp))
+    has_bias = bias is not None
+    if has_bias:
+        Hb = bias.shape[1]
+        if bias.shape[2] != Tp or bias.shape[3] != Sp:
+            pad_t, pad_s = Tp - bias.shape[2], Sp - bias.shape[3]
+            bias = jnp.pad(
+                bias.astype(jnp.float32),
+                ((0, 0), (0, 0), (0, pad_t), (0, pad_s)),
+                constant_values=NEG_INF if fast else 0.0,
+            )
+        bb = bias.shape[0] > 1
+        in_specs.append(
+            pl.BlockSpec(
+                (1, Hb, Tp, Sp),
+                lambda b, *_, bb=bb: (b if bb else 0, 0, 0, 0),
+            )
+        )
+        inputs.append(bias.astype(jnp.float32))
+    if has_mask:
+        if mask.shape[1] != Sp:
+            mask = jnp.pad(mask, ((0, 0), (0, Sp - mask.shape[1])))
+        in_specs.append(pl.BlockSpec((1, Sp), lambda b, *_: (b, 0)))
+        inputs.append(mask.astype(jnp.int32))
+
+    kernel = functools.partial(
+        _onepass_kernel,
+        causal=causal, window=window, has_bias=has_bias, has_mask=has_mask,
+        num_heads=H, t_pad=Tp, s_pad=Sp, fast=fast,
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B,),
+            in_specs=in_specs,
+            out_specs=(
+                pl.BlockSpec((1, H, Tp, D), lambda b, *_: (b, 0, 0, 0)),
+                pl.BlockSpec((1, H, Tp, 1), lambda b, *_: (b, 0, 0, 0)),
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, Tp, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, Tp, 1), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * Tp * Sp * D,
+            bytes_accessed=(q.size + k.size * 2) * 2,
+            transcendentals=B * H * Tp * Sp,
+        ),
+        interpret=interpret,
+    )(q_offset, limit, *inputs)
+    return out[:, :, :T, :], lse[:, :, :T, 0]
+
+
+# VMEM budget for choosing the one-pass kernel (bytes; ~half of 16 MB VMEM,
+# leaving room for double-buffered q/k/v/out blocks and temporaries)
+_ONEPASS_VMEM_BUDGET = 8 * 1024 * 1024
+
+
+def _onepass_profitable(B, H, T, S, D, bias, window) -> bool:
+    if T > 2048 or S > 2048:
+        return False
+    Tp, Sp = _cdiv(T, 8) * 8, _cdiv(S, 128) * 128
+    lanes_d = max(D, 128)  # D<128 pads lanes in VMEM
+    qkv = 3 * H * max(Tp, Sp) * lanes_d * 2 * 2  # double-buffered bf16
+    plane = 4 * Tp * Sp * 4  # s/p/keep temporaries fp32
+    b = 0
+    if bias is not None:
+        b = bias.shape[1] * Tp * Sp * 4
+    return qkv + plane + b <= _ONEPASS_VMEM_BUDGET
+
+
 def _flash_impl(q, k, v, bias, mask, q_offset, limit, causal, window, block_q,
-                block_k, interpret, tri):
+                block_k, interpret, tri, full_kv=False):
     if tri:
         return _flash_forward_tri(
             q, k, v, bias, mask, q_offset, limit, block=block_q,
             interpret=interpret,
+        )
+    B, H, T, D = q.shape
+    S = k.shape[2]
+    if _onepass_profitable(B, H, T, S, D, bias, window):
+        return _flash_forward_onepass(
+            q, k, v, bias, mask, q_offset, limit,
+            causal=causal, window=window, full_kv=full_kv, interpret=interpret,
         )
     return _flash_forward(
         q, k, v, bias, mask, q_offset, limit,
@@ -472,12 +807,12 @@ def _flash_impl(q, k, v, bias, mask, q_offset, limit, causal, window, block_q,
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12)
+    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13)
 )
 def _flash(q, k, v, bias, mask, q_offset, limit, causal, window, block_q, block_k,
-           interpret, tri=False):
+           interpret, tri=False, full_kv=False):
     return _flash_impl(q, k, v, bias, mask, q_offset, limit, causal, window,
-                       block_q, block_k, interpret, tri)[0]
+                       block_q, block_k, interpret, tri, full_kv)[0]
 
 
 def _ref_attention(q, k, v, bias, mask, q_offset, limit, causal, window):
@@ -505,9 +840,9 @@ def _ref_attention(q, k, v, bias, mask, q_offset, limit, causal, window):
 
 
 def _flash_fwd(q, k, v, bias, mask, q_offset, limit, causal, window, block_q,
-               block_k, interpret, tri=False):
+               block_k, interpret, tri=False, full_kv=False):
     out, lse = _flash_impl(q, k, v, bias, mask, q_offset, limit, causal, window,
-                           block_q, block_k, interpret, tri)
+                           block_q, block_k, interpret, tri, full_kv)
     return out, (q, k, v, bias, mask, q_offset, limit, out, lse)
 
 
@@ -833,7 +1168,7 @@ def _flash_backward_pallas(
     return dq, dk[:, :, :S, :], dv[:, :, :S, :], dbias
 
 
-def _flash_bwd(causal, window, block_q, block_k, interpret, tri, res, g):
+def _flash_bwd(causal, window, block_q, block_k, interpret, tri, full_kv, res, g):
     q, k, v, bias, mask, q_offset, limit, out, lse = res
     B, H = q.shape[0], q.shape[1]
     # The Pallas backward emits dbias per (q-block, k-block) cell, so a
@@ -910,6 +1245,6 @@ def flash_attention(
 
     out = _flash(
         qt, kt, vt, bias, mask, qoff, limit, causal, window, block_q, block_k,
-        interpret, tri
+        interpret, tri, kv_len is None
     )
     return out.swapaxes(1, 2)
