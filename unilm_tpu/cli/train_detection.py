@@ -1,0 +1,163 @@
+"""Detection fine-tuning + COCO-mAP eval CLI (DiT / LayoutLMv3 detection).
+
+Capability-equivalent of dit/object_detection/train_net.py + ditod
+MyTrainer (mytrainer.py:329: AMP + grad-accum detectron2 loop, periodic
+COCO eval). TPU-first: one jitted FCOS train step over static-shape
+batches, eval via the jitted static-topk/NMS decode + host-side numpy
+COCO AP (scoring_detection.py).
+
+  python -m unilm_tpu.cli.train_detection --synthetic --steps 200 --eval
+  python -m unilm_tpu.cli.train_detection --train-json coco.json \
+      --image-root imgs/ --num-classes 5 --preset dit
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from unilm_tpu.data.detection import (
+    batches,
+    load_coco_json,
+    pad_batch,
+    synthetic_detection_dataset,
+)
+from unilm_tpu.models.detection_head import (
+    FCOSDetector,
+    decode_detections,
+    dit_base_detection,
+    fcos_loss,
+    layoutlmv3_base_detection,
+)
+from unilm_tpu.runtime.train import TrainState, make_train_step
+from unilm_tpu.scoring_detection import evaluate_detections
+
+
+def build_config(args):
+    preset = dit_base_detection if args.preset == "dit" else layoutlmv3_base_detection
+    kw = {}
+    if args.tiny:  # test/smoke configuration
+        kw = dict(embed_dim=64, num_layers=2, num_heads=4, ffn_dim=128)
+    cfg = preset(img_size=args.img_size, num_classes=args.num_classes, **kw)
+    if args.tiny:
+        cfg = type(cfg)(**{**cfg.__dict__, "tower_convs": 1, "tower_channels": 32})
+    return cfg
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--preset", choices=["dit", "layoutlmv3"], default="dit")
+    p.add_argument("--train-json")
+    p.add_argument("--val-json")
+    p.add_argument("--image-root", default="")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--synthetic-n", type=int, default=64)
+    p.add_argument("--num-classes", type=int, default=3)
+    p.add_argument("--img-size", type=int, default=224)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--max-boxes", type=int, default=64)
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--eval", action="store_true")
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    cfg = build_config(args)
+    model = FCOSDetector(cfg)
+
+    if args.synthetic:
+        train_data = synthetic_detection_dataset(
+            args.synthetic_n, img_size=args.img_size,
+            num_classes=args.num_classes, seed=args.seed,
+        )
+        val_data = synthetic_detection_dataset(
+            max(8, args.synthetic_n // 4), img_size=args.img_size,
+            num_classes=args.num_classes, seed=args.seed + 1,
+        )
+    else:
+        train_data = load_coco_json(
+            args.train_json, args.image_root, img_size=args.img_size
+        )
+        val_data = (
+            load_coco_json(args.val_json, args.image_root, img_size=args.img_size)
+            if args.val_json else train_data
+        )
+
+    sample = pad_batch(train_data[: args.batch_size], args.max_boxes)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(args.seed), jnp.asarray(sample["images"])
+    )["params"]
+
+    tx = optax.adamw(args.lr)
+
+    def loss_fn(params, batch, rng):
+        out = model.apply({"params": params}, batch["images"])
+        loss, metrics = fcos_loss(
+            out, batch["boxes"], batch["labels"], batch["valid"], cfg
+        )
+        return loss, metrics
+
+    step = jax.jit(make_train_step(loss_fn, tx, clip_grad_norm=1.0))
+    state = TrainState.create(params, tx)
+
+    it, epoch = None, 0
+    for i in range(args.steps):
+        if it is None:
+            it = batches(
+                train_data, args.batch_size, max_boxes=args.max_boxes,
+                shuffle=True, seed=args.seed + epoch,
+            )
+            epoch += 1
+        try:
+            batch = next(it)
+        except StopIteration:
+            it = None
+            continue
+        jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+        state, metrics = step(state, jbatch, jax.random.PRNGKey(i))
+        if i % 20 == 0 or i == args.steps - 1:
+            print(
+                f"step {i}: loss {float(metrics['loss']):.4f} "
+                f"cls {float(metrics['cls_loss']):.4f} "
+                f"box {float(metrics['box_loss']):.4f} "
+                f"pos {float(metrics['num_pos']):.0f}"
+            )
+
+    if args.eval:
+        result = evaluate(model, state.params, val_data, args)
+        print(json.dumps({k: round(v, 4) for k, v in result.items()}))
+    return state
+
+
+def evaluate(model, params, val_data, args):
+    @jax.jit
+    def infer(params, images):
+        out = model.apply({"params": params}, images)
+        return decode_detections(out, img_size=float(args.img_size))
+
+    preds, gts = [], []
+    for batch in batches(
+        val_data, args.batch_size, max_boxes=args.max_boxes, drop_last=False
+    ):
+        boxes, scores, labels, valid = infer(params, jnp.asarray(batch["images"]))
+        boxes, scores, labels, valid = map(np.asarray, (boxes, scores, labels, valid))
+        for i in range(len(boxes)):
+            m = valid[i]
+            preds.append(
+                {"boxes": boxes[i][m], "scores": scores[i][m], "labels": labels[i][m]}
+            )
+            gm = batch["valid"][i]
+            gts.append(
+                {"boxes": batch["boxes"][i][gm], "labels": batch["labels"][i][gm]}
+            )
+    return evaluate_detections(preds, gts, args.num_classes)
+
+
+if __name__ == "__main__":
+    main()
