@@ -35,6 +35,37 @@ from unilm_tpu.runtime.train import TrainState, cross_entropy_loss, make_train_s
 import optax
 
 
+def build_vl_stream(args):
+    """Grounded image-text pretraining stream (laion2b_obj_loader.py:70,314
+    equivalent): jsonl shards -> grounding markup -> tiktoken ids ->
+    fixed-shape multimodal rows -> checkpointable batches."""
+    import glob
+
+    from unilm_tpu.data.vl_loaders import (
+        VLSampleSpec,
+        VLTokenizer,
+        interleaved_stream,
+        laion_obj_stream,
+        vl_batch_stream,
+    )
+
+    shards = sorted(glob.glob(args.vl_data))
+    if not shards:
+        raise FileNotFoundError(f"no shards match {args.vl_data}")
+    tok = VLTokenizer(quantized_size=args.quantized_size)
+    spec = VLSampleSpec(
+        tokens_per_sample=args.tokens_per_sample,
+        image_tokens=args.image_tokens,
+        image_size=args.image_size,
+        max_images=1,
+    )
+    maker = interleaved_stream if args.interleaved else laion_obj_stream
+    samples = maker(
+        shards, tok, spec, image_root=args.image_root, seed=args.seed
+    )
+    return vl_batch_stream(samples, args.batch_size), tok
+
+
 def build_stream(args, dictionary):
     if os.path.exists(args.data + ".idx"):
         ds = MMapIndexedDataset(args.data)
@@ -54,8 +85,20 @@ def build_stream(args, dictionary):
 
 def main(argv=None):
     p = argparse.ArgumentParser("GPT pretraining (TPU)")
-    p.add_argument("--data", required=True, help="mmap prefix or text file")
+    p.add_argument("--data", default="", help="mmap prefix or text file")
     p.add_argument("--dict", default="", help="fairseq dict.txt (text input)")
+    # multimodal (image-text) pretraining
+    p.add_argument("--vl_data", "--vl-data", dest="vl_data", default="",
+                   help="glob of grounded image-text jsonl shards")
+    p.add_argument("--interleaved", action="store_true",
+                   help="shards are interleaved text-image documents")
+    p.add_argument("--image_root", default="")
+    p.add_argument("--image_tokens", type=int, default=64,
+                   help="latent query count spliced per image")
+    p.add_argument("--image_size", type=int, default=224)
+    p.add_argument("--quantized_size", type=int, default=32)
+    p.add_argument("--clip_dim", type=int, default=0,
+                   help="override CLIP tower width (0 = ViT-L defaults)")
     p.add_argument("--save_dir", default="./gpt_ckpt")
     p.add_argument("--tokens_per_sample", type=int, default=2048)
     p.add_argument("--batch_size", type=int, default=8)
@@ -79,23 +122,60 @@ def main(argv=None):
     p.add_argument("--bf16", action="store_true", default=True)
     args = p.parse_args(argv)
 
-    dictionary = Dictionary.load(args.dict) if args.dict else Dictionary()
-    vocab = args.vocab or max(len(dictionary), 260)
-    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-    cfg = UniGPTConfig(
-        vocab_size=vocab, embed_dim=args.dim, num_layers=args.layers,
-        num_heads=args.heads, ffn_dim=args.ffn,
-        max_positions=args.tokens_per_sample + 2,
-        subln=True, xpos_rel_pos=True, moe_freq=args.moe_freq,
-        moe_experts=args.moe_experts, remat=args.remat, dtype=dtype,
-    )
-    model = UniGPT(cfg)
+    multimodal = bool(args.vl_data)
+    if not multimodal and not args.data:
+        p.error("one of --data / --vl_data is required")
 
-    stream = build_stream(args, dictionary)
-    dummy = jnp.zeros((args.batch_size, args.tokens_per_sample), jnp.int32)
-    params = jax.jit(lambda r: model.init(r, dummy)["params"])(
-        jax.random.PRNGKey(args.seed)
-    )
+    dictionary = Dictionary.load(args.dict) if args.dict else Dictionary()
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+
+    if multimodal:
+        stream, tok = build_vl_stream(args)
+        vocab = args.vocab or tok.vocab_size
+        from unilm_tpu.models.kosmos import ClipVisionConfig
+
+        clip = ClipVisionConfig(img_size=args.image_size, dtype=dtype)
+        if args.clip_dim:
+            clip = ClipVisionConfig(
+                img_size=args.image_size, embed_dim=args.clip_dim,
+                num_layers=2, num_heads=max(2, args.clip_dim // 32),
+                ffn_dim=args.clip_dim * 4, dtype=dtype,
+            )
+        cfg = UniGPTConfig(
+            vocab_size=vocab, embed_dim=args.dim, num_layers=args.layers,
+            num_heads=args.heads, ffn_dim=args.ffn,
+            max_positions=args.tokens_per_sample + 2,
+            subln=True, xpos_rel_pos=True, moe_freq=args.moe_freq,
+            moe_experts=args.moe_experts, remat=args.remat, dtype=dtype,
+            image_tower="clip", latent_query_num=args.image_tokens,
+            clip=clip, segment_emb=True,
+        )
+        model = UniGPT(cfg)
+        sample = next(stream)
+        stream.setstate(None)  # rewind: the peeked batch came off the stream
+        dummy = tuple(
+            jnp.asarray(sample[k])
+            for k in ("tokens", "images", "img_mask", "segs")
+        )
+        dummy = (dummy[0], dummy[1][:, 0], dummy[2], dummy[3])
+        params = jax.jit(lambda r: model.init(r, *dummy)["params"])(
+            jax.random.PRNGKey(args.seed)
+        )
+    else:
+        vocab = args.vocab or max(len(dictionary), 260)
+        cfg = UniGPTConfig(
+            vocab_size=vocab, embed_dim=args.dim, num_layers=args.layers,
+            num_heads=args.heads, ffn_dim=args.ffn,
+            max_positions=args.tokens_per_sample + 2,
+            subln=True, xpos_rel_pos=True, moe_freq=args.moe_freq,
+            moe_experts=args.moe_experts, remat=args.remat, dtype=dtype,
+        )
+        model = UniGPT(cfg)
+        stream = build_stream(args, dictionary)
+        dummy = jnp.zeros((args.batch_size, args.tokens_per_sample), jnp.int32)
+        params = jax.jit(lambda r: model.init(r, dummy)["params"])(
+            jax.random.PRNGKey(args.seed)
+        )
     n_params = sum(x.size for x in jax.tree.leaves(params))
     print(f"model: {n_params/1e6:.1f}M params, vocab {vocab}")
 
@@ -103,10 +183,23 @@ def main(argv=None):
     tx = optax.adamw(sched, b1=0.9, b2=0.98, weight_decay=0.01)
     state = TrainState.create(params, tx)
 
-    def loss_fn(p, batch, rng):
-        logits = model.apply({"params": p}, batch)
-        s, n = cross_entropy_loss(logits[:, :-1], batch[:, 1:])
-        return s / n, {"ntok": n}
+    if multimodal:
+        def loss_fn(p, batch, rng):
+            logits = model.apply(
+                {"params": p}, batch["tokens"], batch["images"][:, 0],
+                batch["img_mask"], batch["segs"],
+            )
+            # UniGPTLoss: CE over text positions only (unigpt.py:24-70)
+            s, n = cross_entropy_loss(
+                logits[:, :-1], batch["tokens"][:, 1:],
+                mask=batch["loss_mask"][:, 1:],
+            )
+            return s / n, {"ntok": n}
+    else:
+        def loss_fn(p, batch, rng):
+            logits = model.apply({"params": p}, batch)
+            s, n = cross_entropy_loss(logits[:, :-1], batch[:, 1:])
+            return s / n, {"ntok": n}
 
     step_fn = jax.jit(make_train_step(
         loss_fn, tx, clip_grad_norm=args.clip_norm,
@@ -125,9 +218,16 @@ def main(argv=None):
     t0 = time.time()
     while int(state.step) < args.max_steps:
         blocks = next(stream)
-        batch = jnp.asarray(np.stack(blocks), jnp.int32)
-        if args.update_freq > 1:
-            batch = batch.reshape(args.update_freq, -1, batch.shape[-1])
+        if multimodal:
+            batch = {k: jnp.asarray(v) for k, v in blocks.items()}
+            if args.update_freq > 1:
+                batch = jax.tree.map(
+                    lambda x: x.reshape(args.update_freq, -1, *x.shape[1:]), batch
+                )
+        else:
+            batch = jnp.asarray(np.stack(blocks), jnp.int32)
+            if args.update_freq > 1:
+                batch = batch.reshape(args.update_freq, -1, batch.shape[-1])
         state, m = step_fn(state, batch, jax.random.PRNGKey(int(state.step)))
         s = int(state.step)
         loss = float(m["loss"])
