@@ -49,7 +49,7 @@ def postprocess_ocr(text: str):
     return out
 
 
-def main():
+def main(argv=None):
     p = argparse.ArgumentParser("Kosmos-2.5 inference (TPU)")
     p.add_argument("--image", required=True)
     p.add_argument("--task", choices=["ocr", "md"], default="md")
@@ -63,10 +63,25 @@ def main():
     p.add_argument("--ocr_id", type=int, default=100288)
     p.add_argument("--md_id", type=int, default=100289)
     p.add_argument("--bf16", action="store_true", default=True)
-    args = p.parse_args()
+    p.add_argument("--fp32", action="store_true")
+    p.add_argument("--tiny", action="store_true",
+                   help="reduced dims (converter tests / smoke runs)")
+    args = p.parse_args(argv)
 
-    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    dtype = jnp.float32 if args.fp32 else (jnp.bfloat16 if args.bf16 else jnp.float32)
     cfg = kosmos2_5(dtype=dtype, latent_query_num=args.num_image_tokens)
+    if args.tiny:
+        from unilm_tpu.models.kosmos import Pix2StructVisionConfig
+
+        cfg = type(cfg)(**{
+            **cfg.__dict__, "embed_dim": 64, "num_layers": 2, "num_heads": 4,
+            "ffn_dim": 128, "vocab_size": 2048, "max_positions": 4096 + 64,
+            "pix2struct": Pix2StructVisionConfig(
+                hidden_size=32, num_layers=1, num_heads=2, d_ff=64, d_kv=16,
+                patch_dim=768, max_rows=4096, use_flash=False, dtype=dtype,
+            ),
+            "use_flash": False,
+        })
     model = UniGPT(cfg)
 
     from PIL import Image

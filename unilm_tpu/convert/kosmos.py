@@ -76,14 +76,20 @@ def convert_clip_visual(sd: Mapping, num_layers: int, prefix: str = "visual.") -
     }
 
 
-def convert_unigpt(sd: Mapping, cfg, pix2struct_layers: int = 18,
-                   clip_layers: int = 24) -> Dict:
+def convert_unigpt(sd: Mapping, cfg, pix2struct_layers: int = 0,
+                   clip_layers: int = 0) -> Dict:
     """fairseq kosmos checkpoint ('model' state dict) -> UniGPT params.
 
-    Key layout per kosmos-2.5/kosmos2_5/models/{gpt,unigpt}.py: GPT decoder
-    under decoder.*, image tower under img_model.*, connector under
-    img_connector.*."""
+    Key layout per kosmos-2.5/kosmos2_5/models/{gpt,unigpt}.py: UniGPTmodel
+    holds gpt_model/img_model/img_connector (unigpt.py:58-61), and GPTmodel
+    is a TransformerLanguageModel whose decoder is the torchscale LMDecoder,
+    so real checkpoints use gpt_model.decoder.layers.N.* etc."""
+    pix2struct_layers = pix2struct_layers or getattr(cfg.pix2struct, "num_layers", 18)
+    clip_layers = clip_layers or getattr(cfg.clip, "num_layers", 24)
     sd = {k.removeprefix("model."): v for k, v in sd.items()}
+    # UniGPTmodel nests the LM under gpt_model.*; standalone GPTmodel dicts
+    # use bare decoder.*
+    sd = {k.removeprefix("gpt_model."): v for k, v in sd.items()}
     dec_prefix = "decoder."
 
     layers = {}
@@ -119,8 +125,9 @@ def convert_unigpt(sd: Mapping, cfg, pix2struct_layers: int = 18,
         params["output_projection"] = dense(sd, f"{dec_prefix}output_projection", bias=False)
     if f"{dec_prefix}embed_positions.weight" in sd and cfg.learned_pos:
         params["embed_positions"] = embed(sd, f"{dec_prefix}embed_positions.weight")
-    if f"{dec_prefix}segment_emb.embed.weight" in sd:
-        params["segment_emb"] = embed(sd, f"{dec_prefix}segment_emb.embed.weight")
+    # torchscale TextEmbedding subclasses nn.Embedding -> segment_emb.weight
+    if f"{dec_prefix}segment_emb.weight" in sd:
+        params["segment_emb"] = embed(sd, f"{dec_prefix}segment_emb.weight")
 
     if any(k.startswith("img_model.") for k in sd):
         if cfg.image_tower == "pix2struct":
