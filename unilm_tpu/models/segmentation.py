@@ -60,13 +60,33 @@ class UperNetConfig:
     out_indices: Tuple[int, ...] = (3, 5, 7, 11)
     channels: int = 512
     num_classes: int = 150  # ADE20K
+    aux_channels: int = 256
+    aux_loss_weight: float = 0.4  # FCN aux head (UperNet configs)
+
+
+class FCNAuxHead(nn.Module):
+    """Auxiliary FCN head on an intermediate feature level (the reference
+    UperNet configs attach it to backbone level 2 with weight 0.4)."""
+
+    channels: int
+    num_classes: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = ConvBNReLU(self.channels, 3)(x)
+        return nn.Conv(self.num_classes, (1, 1), name="classifier")(x)
 
 
 class BeitForSemanticSegmentation(nn.Module):
     cfg: UperNetConfig
 
     @nn.compact
-    def __call__(self, images: jax.Array, deterministic: bool = True) -> jax.Array:
+    def __call__(
+        self,
+        images: jax.Array,
+        deterministic: bool = True,
+        return_aux: bool = False,
+    ):
         cfg = self.cfg
         bcfg = cfg.beit
         tokens, hiddens = BeitBackbone(bcfg, name="backbone")(
@@ -100,4 +120,37 @@ class BeitForSemanticSegmentation(nn.Module):
         fused = jnp.concatenate([_resize(o, size) for o in outs], axis=-1)
         fused = ConvBNReLU(C, 3, name="fpn_bottleneck")(fused)
         logits = nn.Conv(cfg.num_classes, (1, 1), name="classifier")(fused)
-        return _resize(logits, images.shape[1:3])
+        logits = _resize(logits, images.shape[1:3])
+        if not return_aux:
+            return logits
+        aux = FCNAuxHead(cfg.aux_channels, cfg.num_classes, name="aux_head")(
+            feats[2]
+        )
+        return logits, _resize(aux, images.shape[1:3])
+
+
+def segmentation_loss(
+    logits: jax.Array,          # [B, H, W, C]
+    labels: jax.Array,          # [B, H, W] int; ignore_index skipped
+    aux_logits=None,
+    *,
+    aux_weight: float = 0.4,
+    ignore_index: int = 255,
+):
+    """Pixel CE (+ weighted aux CE), masked at ignore_index — the mmseg
+    decode_head + FCN aux loss the reference configs use."""
+    valid = labels != ignore_index
+    safe = jnp.where(valid, labels, 0)
+
+    def ce(lg):
+        logp = jax.nn.log_softmax(lg.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+    loss = ce(logits)
+    metrics = {"seg_loss": loss}
+    if aux_logits is not None:
+        aux = ce(aux_logits)
+        metrics["aux_loss"] = aux
+        loss = loss + aux_weight * aux
+    return loss, metrics
