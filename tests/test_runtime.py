@@ -222,3 +222,25 @@ def test_mlm_masking_and_loss():
     sl, ss = label_smoothed_nll_loss(logits, tokens, epsilon=0.1)
     assert float(ss) == 4 * 64
     assert np.isfinite(float(sl))
+
+
+def test_step_watchdog_fires_and_resets():
+    import time
+
+    from unilm_tpu.runtime.logging import StepWatchdog
+
+    fired = []
+    with StepWatchdog(0.2, on_timeout=lambda: fired.append(1)) as wd:
+        for _ in range(4):
+            time.sleep(0.08)
+            wd.beat()
+        assert not fired  # heartbeats keep it quiet
+        time.sleep(0.5)
+    assert fired  # missed heartbeat triggers the action
+
+
+def test_wandb_logger_noop_without_wandb():
+    from unilm_tpu.runtime.logging import WandbLogger
+
+    lg = WandbLogger("proj")
+    lg.log({"loss": 1.0}, step=0)  # must not raise when wandb is absent

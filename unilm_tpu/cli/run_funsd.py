@@ -37,24 +37,29 @@ load_funsd_split = load_funsd
 
 
 def tokenize_and_align(tok, example, max_len: int):
-    """run_funsd_cord.py:312 subword alignment: label only first subword."""
+    """run_funsd_cord.py:312 subword alignment: label only first subword.
+    Also emits per-token segment ids for the segment-aware 1D bias
+    (pre_calc_rel_mat, data_collator.py:15-25); specials/pads get -1."""
     enc = tok(example["words"], is_split_into_words=True, truncation=True,
               max_length=max_len, padding="max_length")
     word_ids = enc.word_ids()
-    bboxes, labels = [], []
+    word_segs = example.get("segments")
+    bboxes, labels, segs = [], [], []
     prev = None
     for wid in word_ids:
         if wid is None:
             bboxes.append([0, 0, 0, 0])
             labels.append(-100)
+            segs.append(-1)
         else:
             bboxes.append(example["bboxes"][wid])
             labels.append(
                 LABELS.index(example["labels"][wid]) if wid != prev else -100
             )
+            segs.append(word_segs[wid] if word_segs is not None else 0)
         prev = wid
     return (np.asarray(enc["input_ids"]), np.asarray(enc["attention_mask"]),
-            np.asarray(bboxes), np.asarray(labels))
+            np.asarray(bboxes), np.asarray(labels), np.asarray(segs))
 
 
 def main():
@@ -95,8 +100,8 @@ def main():
 
     from PIL import Image
 
-    apply = jax.jit(lambda p, ids, bb, m, im: model.apply(
-        p, ids, bb, attention_mask=m, images=im))
+    apply = jax.jit(lambda p, ids, bb, m, im, vs: model.apply(
+        p, ids, bb, attention_mask=m, images=im, valid_span=vs))
 
     all_true, all_pred = [], []
     B = args.batch_size
@@ -107,6 +112,10 @@ def main():
         mask = jnp.asarray(np.stack([e[1] for e in enc]))
         bbox = jnp.asarray(np.stack([e[2] for e in enc]))
         labels = np.stack([e[3] for e in enc])
+        seg = np.stack([e[4] for e in enc])
+        # same-segment mask feeding the segment-aware 1D relative bias
+        # (the configuration that produced FUNSD F1 0.9059)
+        valid_span = jnp.asarray(seg[:, :, None] == seg[:, None, :])
         images = None
         if not args.no_image:
             images = jnp.asarray(np.stack([
@@ -114,7 +123,8 @@ def main():
                           IMAGENET_INCEPTION_MEAN, IMAGENET_INCEPTION_STD)
                 for e in chunk
             ]))
-        logits = np.asarray(apply({"params": params}, ids, bbox, mask, images))
+        logits = np.asarray(
+            apply({"params": params}, ids, bbox, mask, images, valid_span))
         preds = logits.argmax(-1)
         for row_l, row_p in zip(labels, preds):
             keep = row_l != -100

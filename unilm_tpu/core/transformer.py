@@ -110,8 +110,10 @@ class EncoderLayer(nn.Module):
             a = FeedForward(cfg, init_scale=_ffn_init_scale(cfg), name="ffn_A")(
                 x, deterministic=deterministic
             )
+            # no split mask: ffn_B params still must exist (checkpoint shape
+            # stability), so touch it with a single token, not the full batch
             b = FeedForward(cfg, init_scale=_ffn_init_scale(cfg), name="ffn_B")(
-                x if split_mask is not None else x[:, :1], deterministic=deterministic
+                x if split_mask is not None else x[:1, :1], deterministic=deterministic
             )
             if split_mask is not None:
                 m = split_mask[None, :, None] if split_mask.ndim == 1 else split_mask[..., None]

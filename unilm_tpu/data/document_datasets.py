@@ -63,8 +63,8 @@ def load_funsd(root: str) -> List[Dict]:
             data = json.load(f)
         img = os.path.join(img_dir, fn.replace(".json", ".png"))
         w, h = _image_size(img)
-        words, bboxes, labels = [], [], []
-        for item in data["form"]:
+        words, bboxes, labels, segments = [], [], [], []
+        for si, item in enumerate(data["form"]):
             ws = [x for x in item["words"] if x["text"].strip()]
             if not ws:
                 continue
@@ -75,8 +75,9 @@ def load_funsd(root: str) -> List[Dict]:
                 bboxes.append(seg)
                 labels.append("O" if label == "OTHER"
                               else ("B-" if i == 0 else "I-") + label)
+                segments.append(si)
         out.append({"words": words, "bboxes": bboxes, "labels": labels,
-                    "image": img})
+                    "segments": segments, "image": img})
     return out
 
 

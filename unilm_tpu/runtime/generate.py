@@ -68,10 +68,6 @@ def _ngram_ban_mask(tokens, cur_len, n, vocab):
     B, L = tokens.shape
     if n <= 0:
         return jnp.zeros((B, vocab), bool)
-    # suffix: last n-1 generated tokens
-    suffix = jax.lax.dynamic_slice(
-        tokens, (0, 0), (B, L)
-    )  # full; we index relative to cur_len below
 
     pos = jnp.arange(L)
     # windows starting at i cover tokens[i .. i+n-1]

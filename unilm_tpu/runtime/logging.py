@@ -53,6 +53,91 @@ class TensorboardLogger:
             self._writer.flush()
 
 
+class WandbLogger:
+    """Weights & Biases sink (fairseq progress_bar.py:392 WandBProgressBar
+    equivalent). No-ops cleanly when wandb is not installed/configured."""
+
+    def __init__(self, project: str, run_name: Optional[str] = None,
+                 config: Optional[Dict] = None):
+        self._run = None
+        try:
+            import wandb
+
+            self._run = wandb.init(project=project, name=run_name,
+                                   config=config or {})
+        except Exception:
+            pass  # offline image / library absent: silently disabled
+
+    def log(self, stats: Dict, step: int, tag: str = "train"):
+        if self._run is None:
+            return
+        self._run.log({f"{tag}/{k}": v for k, v in stats.items()}, step=step)
+
+    def flush(self):
+        pass
+
+
+class StepWatchdog:
+    """Hung-step watchdog (DistributedTimeoutWrapper equivalent,
+    fairseq/distributed/distributed_timeout_wrapper.py:17): a daemon thread
+    fires `on_timeout` if `beat()` is not called within `timeout_s` —
+    catching a wedged collective/compile that would otherwise hang the job
+    forever. Default action logs and SIGTERMs the process so the launcher
+    can restart from the last checkpoint (the reference's recovery story)."""
+
+    def __init__(self, timeout_s: float, on_timeout=None):
+        import threading
+
+        self.timeout_s = timeout_s
+        self._on_timeout = on_timeout or self._default_action
+        self._last = None
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._watch, daemon=True)
+
+    def _default_action(self):
+        import os
+        import signal
+        import sys
+
+        print(
+            f"StepWatchdog: no heartbeat for {self.timeout_s}s — "
+            "killing process for restart-from-checkpoint",
+            file=sys.stderr, flush=True,
+        )
+        os.kill(os.getpid(), signal.SIGTERM)
+
+    def start(self):
+        import time
+
+        self._last = time.monotonic()
+        self._thread.start()
+        return self
+
+    def beat(self):
+        import time
+
+        self._last = time.monotonic()
+
+    def stop(self):
+        self._stop.set()
+
+    def _watch(self):
+        import time
+
+        while not self._stop.wait(min(self.timeout_s / 4.0, 1.0)):
+            if self._last is not None and (
+                time.monotonic() - self._last > self.timeout_s
+            ):
+                self._on_timeout()
+                return
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()
+
+
 class MultiLogger:
     def __init__(self, *loggers):
         self.loggers = [l for l in loggers if l is not None]
