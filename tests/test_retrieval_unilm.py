@@ -93,3 +93,94 @@ def test_unilm_prefix_lm_decode_matches_train():
     inc = jnp.concatenate(outs, 1)
     np.testing.assert_allclose(np.asarray(inc), np.asarray(full[:, S:]),
                                atol=3e-4, rtol=1e-3)
+
+
+def test_xlco_contrastive():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from unilm_tpu.runtime.criterions import (
+        momentum_update,
+        queue_enqueue,
+        xlco_loss,
+    )
+
+    N, C, K = 4, 8, 16
+    q = jax.random.normal(jax.random.PRNGKey(0), (N, C))
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    queue = jax.random.normal(jax.random.PRNGKey(1), (K, C)) * 0.1
+
+    # query == key (perfect alignment): all correct, low loss
+    loss, ncorrect = xlco_loss(q * 5.0, q * 5.0, queue)
+    assert int(ncorrect) == N
+    # misaligned pairs: higher loss than aligned
+    perm = jnp.roll(q, 1, axis=0)
+    loss_bad, _ = xlco_loss(q * 5.0, perm * 5.0, queue)
+    assert float(loss_bad) > float(loss)
+
+    # gradient flows to query only (slow side stop-gradient, xlco.py:33)
+    g = jax.grad(lambda a, b: xlco_loss(a, b, queue)[0], argnums=(0, 1))(q, q)
+    assert float(jnp.abs(g[0]).sum()) > 0
+    assert float(jnp.abs(g[1]).sum()) == 0
+
+    # ring queue wraps
+    ptr = jnp.zeros((), jnp.int32)
+    qq = jnp.zeros((K, C))
+    for i in range(5):
+        qq, ptr = queue_enqueue(qq, ptr, jnp.full((N, C), float(i + 1)))
+    assert int(ptr) == (5 * N) % K
+    assert float(qq[0, 0]) == 5.0  # wrapped write
+
+    # momentum update
+    slow = {"w": jnp.zeros(3)}
+    fast = {"w": jnp.ones(3)}
+    upd = momentum_update(fast, slow, momentum=0.9)
+    np.testing.assert_allclose(np.asarray(upd["w"]), 0.1, rtol=1e-6)
+
+
+def test_speechlm_pretrain():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from unilm_tpu.models.speechlm import (
+        SpeechLM,
+        SpeechLMConfig,
+        speechlm_pretrain_loss,
+    )
+
+    cfg = SpeechLMConfig(
+        hidden_size=32, num_layers=2, num_heads=2, ffn_dim=64,
+        conv_dim=(16, 16), conv_kernel=(10, 3), conv_stride=(5, 2),
+        unit_vocab=12, text_vocab=20, use_flash=False,
+    )
+    model = SpeechLM(cfg)
+    B, S, L = 2, 400, 6
+    audio = jax.random.normal(jax.random.PRNGKey(0), (B, S))
+    # frame count after convs: (400-10)/5+1=79 -> (79-3)/2+1=39
+    T = 39
+    mask = jnp.zeros((B, T), bool).at[:, 5:15].set(True)
+    text = jnp.ones((B, L), jnp.int32)
+    params = model.init(jax.random.PRNGKey(1), audio, mask, text)["params"]
+    unit_logits, text_logits = model.apply({"params": params}, audio, mask, text)
+    assert unit_logits.shape == (B, T, 12)
+    assert text_logits.shape == (B, L, 20)
+
+    unit_tgt = jnp.zeros((B, T), jnp.int32)
+    text_tgt = jnp.full((B, L), -100).at[:, 2].set(3)
+    loss, m = speechlm_pretrain_loss(
+        unit_logits, unit_tgt, mask, text_logits, text_tgt
+    )
+    assert np.isfinite(float(loss))
+    assert float(m["unit_loss"]) > 0 and float(m["text_loss"]) > 0
+
+    # the two streams share ONE encoder: text-head grads flow through
+    # encoder params that the speech path also uses
+    def tloss(p):
+        _, tl = model.apply({"params": p}, audio, mask, text)
+        ll, _ = speechlm_pretrain_loss(unit_logits * 0, unit_tgt, mask, tl, text_tgt)
+        return ll
+    g = jax.grad(tloss)(params)
+    enc_leaf = jax.tree.leaves(g["encoder"])
+    assert any(float(jnp.abs(x).sum()) > 0 for x in enc_leaf)

@@ -88,3 +88,47 @@ def label_smoothed_nll_loss(
     smooth = -jnp.mean(logp, axis=-1)
     loss = (1.0 - epsilon) * nll + epsilon * smooth
     return jnp.sum(loss * valid), jnp.sum(valid)
+
+
+# --------------------------------------------------------------------------- #
+# InfoXLM XLCo: cross-lingual contrastive pretraining
+# (infoxlm/src-infoxlm/infoxlm/criterions/xlco.py + models/infoxlm.py)
+# --------------------------------------------------------------------------- #
+
+
+def xlco_loss(
+    query: jax.Array,   # [N, C] fast-encoder features of source sentences
+    key: jax.Array,     # [N, C] slow (momentum) features of the translations
+    queue: jax.Array,   # [K, C] negative queue (momentum features)
+    tau: float = 0.25,
+) -> Tuple[jax.Array, jax.Array]:
+    """InfoNCE with the translation pair as the positive and the momentum
+    queue as negatives (xlco.py:32-44). Returns (sum loss, n_correct).
+    `key`/`queue` are treated as constants (stop-gradient)."""
+    key = jax.lax.stop_gradient(key)
+    queue = jax.lax.stop_gradient(queue)
+    pos = jnp.sum(query * key, axis=-1, keepdims=True)          # [N, 1]
+    neg = query @ queue.T                                        # [N, K]
+    logits = jnp.concatenate([pos, neg], axis=1) / tau
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    loss = -jnp.sum(logp[:, 0])
+    ncorrect = jnp.sum(jnp.argmax(logits, axis=-1) == 0)
+    return loss, ncorrect
+
+
+def momentum_update(fast_params, slow_params, momentum: float = 0.9999):
+    """MoCo-style slow-encoder EMA (infoxlm.py model_slow update)."""
+    return jax.tree.map(
+        lambda s, f: momentum * s + (1.0 - momentum) * f, slow_params, fast_params
+    )
+
+
+def queue_enqueue(queue: jax.Array, ptr: jax.Array, keys: jax.Array):
+    """Ring-buffer enqueue of [N, C] keys into the [K, C] negative queue.
+    Returns (queue, ptr). K must be a multiple of N (MoCo convention)."""
+    K = queue.shape[0]
+    N = keys.shape[0]
+    queue = jax.lax.dynamic_update_slice(
+        queue, jax.lax.stop_gradient(keys), (ptr % K, jnp.zeros((), ptr.dtype))
+    )
+    return queue, (ptr + N) % K
