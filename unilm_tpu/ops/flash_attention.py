@@ -39,6 +39,18 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
+
+def _mm_precision(dtype):
+    """Explicit matmul precision: the global jax_default_matmul_precision
+    (tests set 'highest') must not leak into Mosaic for bf16 operands —
+    fp32 contract precision on bf16 vectors fails to compile ('Bad lhs
+    type'); fp32 operands keep HIGHEST for parity-grade accuracy."""
+    return (
+        jax.lax.Precision.HIGHEST
+        if dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
@@ -79,16 +91,20 @@ def _flash_kernel(
     window: int,
     has_bias: bool,
     has_mask: bool,
+    has_tri: bool,
     block_q: int,
     block_k: int,
 ):
     idx = 0
-    bias_ref = mask_ref = None
+    bias_ref = mask_ref = tri_ref = None
     if has_bias:
         bias_ref = rest[idx]
         idx += 1
     if has_mask:
         mask_ref = rest[idx]
+        idx += 1
+    if has_tri:
+        tri_ref = rest[idx]
         idx += 1
     o_ref, lse_ref, acc_ref, m_ref, l_ref = rest[idx : idx + 5]
 
@@ -104,36 +120,87 @@ def _flash_kernel(
 
     qoff = qoff_ref[0]
     limit = limit_ref[0]
+    LOG2E = 1.4426950408889634
+    LN2 = 0.6931471805599453
+
+    r0 = qoff + i * block_q          # first query row of this block
+    c0 = j * block_k                 # first key column
 
     # block-level skip: causal block fully above the diagonal, window block
     # fully below, or block fully beyond the valid kv prefix
-    run = j * block_k < limit
+    run = c0 < limit
     if causal:
-        run = jnp.logical_and(run, j * block_k <= qoff + i * block_q + block_q - 1)
+        run = jnp.logical_and(run, c0 <= r0 + block_q - 1)
     if window > 0:
-        run = jnp.logical_and(
-            run, (j + 1) * block_k - 1 >= qoff + i * block_q - window + 1
-        )
+        run = jnp.logical_and(run, c0 + block_k - 1 >= r0 - window + 1)
 
-    @pl.when(run)
-    def _body():
-        q = q_ref[0, 0]  # [bq, D]
-        k = k_ref[0, 0]  # [bk, D]
+    # Mask-free fast body when every (row, col) pair in the block is
+    # visible: the VPU softmax passes dominate at small D (measured), and
+    # iota/compare/where masking nearly doubles them. exp2 is the native op
+    # (log2-domain online softmax; lse converts back at the end).
+    full = jnp.logical_and(run, c0 + block_k <= limit)
+    if causal:
+        full = jnp.logical_and(full, c0 + block_k - 1 <= r0)
+    if window > 0:
+        full = jnp.logical_and(full, r0 + block_q - 1 - c0 < window)
+    if has_mask:
+        full = jnp.zeros((), bool) & full  # per-key mask: always masked body
+
+    def _compute_s():
         s = jax.lax.dot_general(
-            q,
-            k,
-            (((1,), (1,)), ((), ())),
+            q_ref[0, 0], k_ref[0, 0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [bq, bk]
+            precision=_mm_precision(q_ref.dtype),
+        )
         if has_bias:
             s = s + bias_ref[0, 0].astype(jnp.float32)
+        return s
 
-        rows = qoff + i * block_q + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 0
+    def _accumulate(p, m_new, m_prev):
+        alpha = jnp.exp(m_prev - m_new)  # [bq, 1]
+        l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[:, :1] = m_new
+        pv = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_mm_precision(q_ref.dtype),
         )
-        cols = j * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 1
+        acc_ref[:] = acc_ref[:] * alpha + pv
+
+    # Diagonal blocks (square blocking, r0 == c0, nothing else masked) use a
+    # VMEM-resident static triangular additive mask: one add replaces the
+    # iota/compare/where chain; exp2(NEG_INF - m) underflows to exactly 0.
+    diag = jnp.zeros((), bool)
+    if has_tri:
+        diag = jnp.logical_and(run, r0 == c0)
+        diag = jnp.logical_and(diag, c0 + block_k <= limit)
+
+    @pl.when(full)
+    def _body_fast():
+        s = _compute_s()
+        m_prev = m_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        _accumulate(p, m_new, m_prev)
+
+    if has_tri:
+        @pl.when(diag)
+        def _body_diag():
+            s = _compute_s() + tri_ref[:]
+            m_prev = m_ref[:, :1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            _accumulate(p, m_new, m_prev)
+
+    @pl.when(
+        jnp.logical_and(
+            run, jnp.logical_not(jnp.logical_or(full, diag))
         )
+    )
+    def _body_masked():
+        s = _compute_s()
+        rows = r0 + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        cols = c0 + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
         keep = cols < limit
         if causal:
             keep = jnp.logical_and(keep, cols <= rows)
@@ -143,22 +210,12 @@ def _flash_kernel(
             keep = jnp.logical_and(keep, mask_ref[0, :][None, :] != 0)
         s = jnp.where(keep, s, NEG_INF)
 
-        m_prev = m_ref[:, :1]  # [bq, 1]
-        m_cur = jnp.max(s, axis=1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        # explicit keep-guard: a row fully masked in its first running block
-        # has m_new = NEG_INF and exp(s - m_new) would be exp(0) = 1
+        m_prev = m_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        # keep-guard: a row fully masked in its first running block has
+        # m_new = NEG_INF and exp(s - m_new) would be exp(0) = 1
         p = jnp.where(keep, jnp.exp(s - m_new), 0.0)
-        alpha = jnp.exp(m_prev - m_new)  # [bq, 1]
-        l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
-        m_ref[:, :1] = m_new
-        pv = jax.lax.dot_general(
-            p.astype(v_ref.dtype),
-            v_ref[0, 0],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc_ref[:] = acc_ref[:] * alpha + pv
+        _accumulate(p, m_new, m_prev)
 
     @pl.when(j == nk - 1)
     def _finish():
@@ -167,8 +224,9 @@ def _flash_kernel(
         o_ref[0, 0] = out.astype(o_ref.dtype)
         # row log-sum-exp of the (pre-scaled) logits, consumed by the
         # backward kernels' in-kernel softmax recompute; 0 for dead rows
-        # (their p is re-masked to 0 in the backward anyway)
-        lse = jnp.where(l > 0.0, m_ref[:, :1] + jnp.log(jnp.maximum(l, 1e-37)), 0.0)
+        lse = jnp.where(
+            l > 0.0, m_ref[:, :1] + jnp.log(jnp.maximum(l, 1e-37)), 0.0
+        )
         lse_ref[0, 0] = lse
 
 
@@ -228,12 +286,24 @@ def _flash_forward(
         in_specs.append(pl.BlockSpec((1, block_k), lambda b, h, i, j, *_: (b, j)))
         inputs.append(mask.astype(jnp.int32))
 
+    # static triangular mask for diagonal blocks (square blocking only)
+    has_tri = causal and window == 0 and not has_mask and block_q == block_k
+    if has_tri:
+        rr = jnp.arange(block_q)[:, None]
+        cc = jnp.arange(block_k)[None, :]
+        tri = jnp.where(cc <= rr, 0.0, NEG_INF).astype(jnp.float32)
+        in_specs.append(
+            pl.BlockSpec((block_q, block_k), lambda b, h, i, j, *_: (0, 0))
+        )
+        inputs.append(tri)
+
     kernel = functools.partial(
         _flash_kernel,
         causal=causal,
         window=window,
         has_bias=has_bias,
         has_mask=has_mask,
+        has_tri=has_tri,
         block_q=block_q,
         block_k=block_k,
     )
@@ -345,6 +415,7 @@ def _flash_tri_kernel(
         pv = jax.lax.dot_general(
             p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=_mm_precision(q_ref.dtype),
         )
         acc_ref[:] = acc_ref[:] * alpha + pv
 
@@ -483,6 +554,7 @@ def _vit_kernel(
         s = jax.lax.dot_general(
             qh, k_ref[0, :, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=_mm_precision(q_ref.dtype),
         )  # [Tp, Sp]
         if has_bias:
             # bias is pre-scaled by log2(e) and pre-masked outside
@@ -493,6 +565,7 @@ def _vit_kernel(
         o = jax.lax.dot_general(
             p.astype(v_ref.dtype), v_ref[0, :, sl], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=_mm_precision(q_ref.dtype),
         )
         o_ref[0, :, sl] = (o / l).astype(o_ref.dtype)
 
@@ -651,6 +724,7 @@ def _onepass_kernel(
         s = jax.lax.dot_general(
             q_ref[0, h], k_ref[0, h], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=_mm_precision(q_ref.dtype),
         )  # [Tp, Sp]
         if has_bias:
             s = s + bias_ref[0, h if bias_ref.shape[1] > 1 else 0]
@@ -676,6 +750,7 @@ def _onepass_kernel(
         o = jax.lax.dot_general(
             p.astype(v_ref.dtype), v_ref[0, h], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=_mm_precision(q_ref.dtype),
         )
         o_ref[0, h] = (o / jnp.where(l > 0.0, l, 1.0)).astype(o_ref.dtype)
         lse_ref[0, h] = jnp.where(
@@ -911,6 +986,7 @@ def _bwd_dq_kernel(
         dp = jax.lax.dot_general(
             do, v_ref[0, 0].astype(jnp.float32), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=_mm_precision(q_ref.dtype),
         )
         ds = p * (dp - delta_ref[0, 0])
         if has_bias:
@@ -918,6 +994,7 @@ def _bwd_dq_kernel(
         acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=_mm_precision(q_ref.dtype),
         )
 
     if has_bias:
@@ -996,12 +1073,14 @@ def _bwd_dkv_kernel(
         dp = jax.lax.dot_general(
             do, v_ref[0, 0].astype(jnp.float32), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=_mm_precision(q_ref.dtype),
         )
         ds = p * (dp - delta_ref[0, 0])
         # dk += ds^T q   (q is pre-scaled, so this is grad wrt unscaled k)
         dk_acc[:] = dk_acc[:] + jax.lax.dot_general(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=_mm_precision(q_ref.dtype),
         )
 
     @pl.when(i == nq - 1)
@@ -1234,6 +1313,17 @@ def flash_attention(
         jnp.asarray(S, jnp.int32) if kv_len is None else kv_len.astype(jnp.int32), (1,)
     )
     mask = None if key_padding_mask is None else key_padding_mask.astype(jnp.int32)
+
+    # Square blocking for causal (no window/kpm): enables the static
+    # triangular diagonal-block mask, and 1024-blocks amortize per-step
+    # overhead best (measured: 108 TF/s at T=4096 vs 57 with 512-blocks;
+    # bias blocks add 4 MB f32 per 1024-block, so cap at 512 then).
+    if causal and window == 0 and key_padding_mask is None and T == S:
+        big = 1024 if bias is None else 512
+        blk = min(big, max(block_q, block_k))
+        if S < blk:
+            blk = _cdiv(S, 8) * 8
+        block_q = block_k = blk
 
     # Triangular-grid causal schedule: measured perf-neutral vs the dense
     # grid's pl.when skipping on v5e (PERFORMANCE.md), so opt-in only.
