@@ -453,6 +453,8 @@ def kosmos2(**kw) -> UniGPTConfig:
     """Kosmos-2 1.3B: CLIP ViT-L/14 tower, 64 latent queries, 2048-dim GPT."""
     kw.setdefault("image_tower", "clip")
     kw.setdefault("latent_query_num", 64)
+    if "dtype" in kw and "clip" not in kw:
+        kw["clip"] = ClipVisionConfig(dtype=kw["dtype"])
     return UniGPTConfig(**kw)
 
 
@@ -465,4 +467,8 @@ def kosmos2_5(**kw) -> UniGPTConfig:
     kw.setdefault("num_heads", 16)
     kw.setdefault("ffn_dim", 6144)
     kw.setdefault("segment_emb", True)
+    # the vision tower inherits the compute dtype (it was silently fp32
+    # before -- the TTFT path runs it in bf16 like the reference's .half())
+    if "dtype" in kw and "pix2struct" not in kw:
+        kw["pix2struct"] = Pix2StructVisionConfig(dtype=kw["dtype"])
     return UniGPTConfig(**kw)

@@ -40,16 +40,26 @@ NEG_INF = -1e30
 
 
 
-def _mm_precision(dtype):
-    """Explicit matmul precision: the global jax_default_matmul_precision
-    (tests set 'highest') must not leak into Mosaic for bf16 operands —
-    fp32 contract precision on bf16 vectors fails to compile ('Bad lhs
-    type'); fp32 operands keep HIGHEST for parity-grade accuracy."""
-    return (
-        jax.lax.Precision.HIGHEST
-        if dtype == jnp.float32
-        else jax.lax.Precision.DEFAULT
-    )
+def _dot_kwargs(dtype):
+    """Per-dtype matmul precision kwargs for in-kernel dots.
+
+    The precision kwarg must be OMITTED whenever possible: even an
+    explicit precision=None (let alone DEFAULT) steers Mosaic into a
+    ~2.5x slower matmul mode than leaving the kwarg out (measured on the
+    Pix2Struct tower, 64 ms -> 161 ms). The single necessary override:
+    bf16 operands under a global 'highest'/'float32'
+    jax_default_matmul_precision must force DEFAULT, because Mosaic
+    rejects fp32 contract precision on bf16 vectors outright ('Bad lhs
+    type' — the test conftest sets highest globally).
+    """
+    try:
+        global_prec = jax.config.jax_default_matmul_precision
+    except AttributeError:
+        global_prec = None
+    if global_prec in ("highest", "float32", "high", "tensorfloat32"):
+        if dtype != jnp.float32:
+            return {"precision": jax.lax.Precision.DEFAULT}
+    return {}
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
@@ -92,6 +102,7 @@ def _flash_kernel(
     has_bias: bool,
     has_mask: bool,
     has_tri: bool,
+    full_kv: bool,
     block_q: int,
     block_k: int,
 ):
@@ -136,21 +147,32 @@ def _flash_kernel(
 
     # Mask-free fast body when every (row, col) pair in the block is
     # visible: the VPU softmax passes dominate at small D (measured), and
-    # iota/compare/where masking nearly doubles them. exp2 is the native op
-    # (log2-domain online softmax; lse converts back at the end).
-    full = jnp.logical_and(run, c0 + block_k <= limit)
-    if causal:
-        full = jnp.logical_and(full, c0 + block_k - 1 <= r0)
-    if window > 0:
-        full = jnp.logical_and(full, r0 + block_q - 1 - c0 < window)
-    if has_mask:
-        full = jnp.zeros((), bool) & full  # per-key mask: always masked body
+    # iota/compare/where masking nearly doubles them. A per-key padding
+    # mask makes every block masked, so the fast/diag bodies are omitted
+    # STATICALLY then (a dead pl.when body still costs VMEM scratch and
+    # hurts pipelining — measured 2.5x on the Pix2Struct tower).
+    two_bodies = not has_mask
+    # With a statically-full kv (no kv_len) and no per-key mask/window, the
+    # masked body can never run: non-causal blocks are all fully visible,
+    # and causal square blocking covers everything with {skip, diag, full}.
+    # Omit it STATICALLY — a never-taken pl.when body still costs compiled
+    # code + VMEM scratch and hurts the pipeline.
+    no_masked_body = (
+        full_kv and not has_mask and window == 0 and (not causal or has_tri)
+    )
+    full = jnp.zeros((), bool)
+    if two_bodies:
+        full = jnp.logical_and(run, c0 + block_k <= limit)
+        if causal:
+            full = jnp.logical_and(full, c0 + block_k - 1 <= r0)
+        if window > 0:
+            full = jnp.logical_and(full, r0 + block_q - 1 - c0 < window)
 
     def _compute_s():
         s = jax.lax.dot_general(
             q_ref[0, 0], k_ref[0, 0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=_mm_precision(q_ref.dtype),
+            **_dot_kwargs(q_ref.dtype),
         )
         if has_bias:
             s = s + bias_ref[0, 0].astype(jnp.float32)
@@ -163,7 +185,7 @@ def _flash_kernel(
         pv = jax.lax.dot_general(
             p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=_mm_precision(q_ref.dtype),
+            **_dot_kwargs(q_ref.dtype),
         )
         acc_ref[:] = acc_ref[:] * alpha + pv
 
@@ -175,13 +197,14 @@ def _flash_kernel(
         diag = jnp.logical_and(run, r0 == c0)
         diag = jnp.logical_and(diag, c0 + block_k <= limit)
 
-    @pl.when(full)
-    def _body_fast():
-        s = _compute_s()
-        m_prev = m_ref[:, :1]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        _accumulate(p, m_new, m_prev)
+    if two_bodies:
+        @pl.when(full)
+        def _body_fast():
+            s = _compute_s()
+            m_prev = m_ref[:, :1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            _accumulate(p, m_new, m_prev)
 
     if has_tri:
         @pl.when(diag)
@@ -191,6 +214,9 @@ def _flash_kernel(
             m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
             p = jnp.exp(s - m_new)
             _accumulate(p, m_new, m_prev)
+
+    if no_masked_body:
+        return
 
     @pl.when(
         jnp.logical_and(
@@ -244,6 +270,7 @@ def _flash_forward(
     block_q: int,
     block_k: int,
     interpret: bool,
+    full_kv: bool = False,
 ):
     B, H, T, D = q.shape
     S = k.shape[2]
@@ -304,6 +331,7 @@ def _flash_forward(
         has_bias=has_bias,
         has_mask=has_mask,
         has_tri=has_tri,
+        full_kv=full_kv and Sp == S,  # padding adds masked columns
         block_q=block_q,
         block_k=block_k,
     )
@@ -415,7 +443,7 @@ def _flash_tri_kernel(
         pv = jax.lax.dot_general(
             p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=_mm_precision(q_ref.dtype),
+            **_dot_kwargs(q_ref.dtype),
         )
         acc_ref[:] = acc_ref[:] * alpha + pv
 
@@ -554,7 +582,7 @@ def _vit_kernel(
         s = jax.lax.dot_general(
             qh, k_ref[0, :, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=_mm_precision(q_ref.dtype),
+            **_dot_kwargs(q_ref.dtype),
         )  # [Tp, Sp]
         if has_bias:
             # bias is pre-scaled by log2(e) and pre-masked outside
@@ -565,7 +593,7 @@ def _vit_kernel(
         o = jax.lax.dot_general(
             p.astype(v_ref.dtype), v_ref[0, :, sl], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=_mm_precision(q_ref.dtype),
+            **_dot_kwargs(q_ref.dtype),
         )
         o_ref[0, :, sl] = (o / l).astype(o_ref.dtype)
 
@@ -724,7 +752,7 @@ def _onepass_kernel(
         s = jax.lax.dot_general(
             q_ref[0, h], k_ref[0, h], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=_mm_precision(q_ref.dtype),
+            **_dot_kwargs(q_ref.dtype),
         )  # [Tp, Sp]
         if has_bias:
             s = s + bias_ref[0, h if bias_ref.shape[1] > 1 else 0]
@@ -750,7 +778,7 @@ def _onepass_kernel(
         o = jax.lax.dot_general(
             p.astype(v_ref.dtype), v_ref[0, h], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=_mm_precision(q_ref.dtype),
+            **_dot_kwargs(q_ref.dtype),
         )
         o_ref[0, h] = (o / jnp.where(l > 0.0, l, 1.0)).astype(o_ref.dtype)
         lse_ref[0, h] = jnp.where(
@@ -877,7 +905,7 @@ def _flash_impl(q, k, v, bias, mask, q_offset, limit, causal, window, block_q,
     return _flash_forward(
         q, k, v, bias, mask, q_offset, limit,
         causal=causal, window=window, block_q=block_q, block_k=block_k,
-        interpret=interpret,
+        interpret=interpret, full_kv=full_kv,
     )
 
 
@@ -986,7 +1014,7 @@ def _bwd_dq_kernel(
         dp = jax.lax.dot_general(
             do, v_ref[0, 0].astype(jnp.float32), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=_mm_precision(q_ref.dtype),
+            **_dot_kwargs(q_ref.dtype),
         )
         ds = p * (dp - delta_ref[0, 0])
         if has_bias:
@@ -994,7 +1022,7 @@ def _bwd_dq_kernel(
         acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=_mm_precision(q_ref.dtype),
+            **_dot_kwargs(q_ref.dtype),
         )
 
     if has_bias:
@@ -1073,14 +1101,14 @@ def _bwd_dkv_kernel(
         dp = jax.lax.dot_general(
             do, v_ref[0, 0].astype(jnp.float32), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=_mm_precision(q_ref.dtype),
+            **_dot_kwargs(q_ref.dtype),
         )
         ds = p * (dp - delta_ref[0, 0])
         # dk += ds^T q   (q is pre-scaled, so this is grad wrt unscaled k)
         dk_acc[:] = dk_acc[:] + jax.lax.dot_general(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=_mm_precision(q_ref.dtype),
+            **_dot_kwargs(q_ref.dtype),
         )
 
     @pl.when(i == nq - 1)
