@@ -173,4 +173,97 @@ void balanced_assignment(const float* scores, int64_t n, int64_t k,
   for (int64_t i = 0; i < n; ++i) out[i] = owner[i];
 }
 
+// ---------------------------------------------------------------------------
+// token_block_utils_fast equivalents (fairseq/data/token_block_utils_fast.pyx)
+// Two-pass API: call with out == nullptr to get the row count, then again
+// with an [n_rows, 2] buffer.
+// break_mode: 0 = none, 1 = complete, 2 = complete_doc, 3 = eos
+// ---------------------------------------------------------------------------
+int64_t token_block_slices(const int64_t* sizes, int64_t n, int32_t break_mode,
+                           int64_t block_size, int64_t document_sep_len,
+                           int64_t* out) {
+  int64_t rows = 0;
+  auto emit = [&](int64_t s, int64_t e) {
+    if (out) {
+      out[2 * rows] = s;
+      out[2 * rows + 1] = e;
+    }
+    rows++;
+  };
+  if (break_mode == 0) {  // none: fixed blocks over the concatenated stream
+    int64_t total = 0;
+    for (int64_t i = 0; i < n; i++) total += sizes[i];
+    int64_t length = (total + block_size - 1) / block_size;
+    for (int64_t i = 0; i < length; i++) {
+      int64_t s = i * block_size;
+      int64_t e = s + block_size < total ? s + block_size : total;
+      emit(s, e);
+    }
+  } else if (break_mode == 1) {  // complete: whole sentences up to block_size
+    int64_t tok = 0, cur = 0, i = 0;
+    while (i < n) {
+      if (cur + sizes[i] <= block_size || cur == 0) {
+        cur += sizes[i];
+        i++;
+      } else {
+        emit(tok, tok + cur);
+        tok += cur;
+        cur = 0;
+      }
+    }
+    if (cur > 0) emit(tok, tok + cur);
+  } else if (break_mode == 2) {  // complete_doc
+    int64_t tok = 0, cur = 0, i = 0;
+    while (i < n) {
+      if ((cur + sizes[i] <= block_size || cur == 0) &&
+          sizes[i] != document_sep_len) {
+        cur += sizes[i];
+        i++;
+      } else {
+        if (cur > 1) emit(tok, tok + cur);
+        tok += cur;
+        cur = 0;
+        if (sizes[i] == document_sep_len) {
+          tok += sizes[i];
+          i++;
+        }
+      }
+    }
+    if (cur > 1) emit(tok, tok + cur);
+  } else {  // eos: one block per sentence
+    int64_t start = 0;
+    for (int64_t i = 0; i < n; i++) {
+      emit(start, start + sizes[i]);
+      start += sizes[i];
+    }
+  }
+  return rows;
+}
+
+// block -> (start_ds_idx, start_offset, end_ds_idx) mapping
+// (fairseq _get_block_to_dataset_index_fast; single linear sweep since
+// slices are non-decreasing)
+void block_to_dataset_index(const int64_t* sizes, int64_t n,
+                            const int64_t* slices, int64_t m, int64_t* out) {
+  int64_t ds = 0;        // current dataset index
+  int64_t ds_start = 0;  // stream offset where sizes[ds] begins
+  auto seek = [&](int64_t pos) {
+    while (ds < n - 1 && pos >= ds_start + sizes[ds]) {
+      ds_start += sizes[ds];
+      ds++;
+    }
+  };
+  for (int64_t i = 0; i < m; i++) {
+    int64_t s = slices[2 * i], e = slices[2 * i + 1];
+    seek(s);
+    out[3 * i] = ds;
+    out[3 * i + 1] = s - ds_start;
+    int64_t save_ds = ds, save_start = ds_start;
+    if (e > s) seek(e - 1);
+    out[3 * i + 2] = ds;
+    ds = save_ds;  // next slice may start inside the same sentence
+    ds_start = save_start;
+  }
+}
+
 }  // extern "C"

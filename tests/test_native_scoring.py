@@ -130,3 +130,58 @@ def test_ocr_augment():
     # deterministic under the same seed
     out2 = OCRAugment(n_ops=3, seed=7)(img)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+
+def test_token_block_slices_modes():
+    import numpy as np
+
+    from unilm_tpu import native
+
+    sizes = np.array([5, 3, 7, 1, 4, 6], np.int64)  # sep_len=1 doc boundary
+    # none: fixed blocks over the 26-token stream
+    s = native.token_block_slices(sizes, "none", block_size=8)
+    assert s.tolist() == [[0, 8], [8, 16], [16, 24], [24, 26]]
+    # complete: whole sentences up to block_size (7+1 fits the 2nd block)
+    s = native.token_block_slices(sizes, "complete", block_size=8)
+    assert s.tolist() == [[0, 8], [8, 16], [16, 20], [20, 26]]
+    # eos: one block per sentence
+    s = native.token_block_slices(sizes, "eos", block_size=8)
+    assert s.tolist() == [[0, 5], [5, 8], [8, 15], [15, 16], [16, 20], [20, 26]]
+    # complete_doc: size==sep_len ends a document (and is skipped)
+    s = native.token_block_slices(sizes, "complete_doc", block_size=100,
+                                  document_sep_len=1)
+    assert s.tolist() == [[0, 15], [16, 26]]
+
+    # native path must agree with the numpy fallback on random inputs
+    rng = np.random.RandomState(0)
+    for mode in (None, "complete", "complete_doc", "eos"):
+        sz = rng.randint(1, 9, 50).astype(np.int64)
+        a = native.token_block_slices(sz, mode, block_size=16)
+        lib, native._lib = native._lib, None  # force fallback
+        try:
+            b = native.token_block_slices(sz, mode, block_size=16)
+        finally:
+            native._lib = lib
+        np.testing.assert_array_equal(a, b)
+
+
+def test_block_to_dataset_index():
+    import numpy as np
+
+    from unilm_tpu import native
+
+    sizes = np.array([5, 3, 7], np.int64)
+    slices = np.array([[0, 5], [3, 9], [5, 15], [14, 15]], np.int64)
+    out = native.block_to_dataset_index(sizes, slices)
+    assert out.tolist() == [
+        [0, 0, 0],   # whole first sentence
+        [0, 3, 2],   # starts inside sent 0; token 8 is sent 2's first
+        [1, 0, 2],   # sent 1 through sent 2
+        [2, 6, 2],   # last token of sent 2
+    ]
+    lib, native._lib = native._lib, None
+    try:
+        fb = native.block_to_dataset_index(sizes, slices)
+    finally:
+        native._lib = lib
+    np.testing.assert_array_equal(out, fb)

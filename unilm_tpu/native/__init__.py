@@ -55,6 +55,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64p,
             ]
             lib.balanced_assignment.argtypes = [f32p, ctypes.c_int64, ctypes.c_int64, i64p]
+            lib.token_block_slices.restype = ctypes.c_int64
+            lib.token_block_slices.argtypes = [
+                i64p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int64,
+                ctypes.c_int64, i64p,
+            ]
+            lib.block_to_dataset_index.argtypes = [
+                i64p, ctypes.c_int64, i64p, ctypes.c_int64, i64p,
+            ]
             _lib = lib
     return _lib
 
@@ -197,4 +205,90 @@ def balanced_assignment(scores: np.ndarray) -> np.ndarray:
         if out[i] == -1 and fill[j] < cap:
             out[i] = j
             fill[j] += 1
+    return out
+
+
+_BREAK_MODES = {None: 0, "none": 0, "complete": 1, "complete_doc": 2, "eos": 3}
+
+
+def token_block_slices(
+    sizes: np.ndarray,
+    break_mode: Optional[str] = None,
+    block_size: int = 512,
+    document_sep_len: int = 1,
+) -> np.ndarray:
+    """[n] sentence sizes -> [m, 2] (start, end) token-stream slices
+    (token_block_utils_fast._get_slice_indices_fast equivalent;
+    modes: none / complete / complete_doc / eos)."""
+    sizes = np.ascontiguousarray(sizes, np.int64)
+    mode = _BREAK_MODES[break_mode]
+    lib = get_lib()
+    if lib is not None:
+        null = ctypes.POINTER(ctypes.c_int64)()
+        m = lib.token_block_slices(
+            _ptr(sizes, ctypes.c_int64), len(sizes), mode, block_size,
+            document_sep_len, null,
+        )
+        out = np.zeros((m, 2), np.int64)
+        lib.token_block_slices(
+            _ptr(sizes, ctypes.c_int64), len(sizes), mode, block_size,
+            document_sep_len, _ptr(out, ctypes.c_int64),
+        )
+        return out
+    # numpy fallback
+    rows = []
+    if mode == 0:
+        total = int(sizes.sum())
+        for s in range(0, total, block_size):
+            rows.append((s, min(s + block_size, total)))
+    elif mode == 1:
+        tok = cur = i = 0
+        while i < len(sizes):
+            if cur + sizes[i] <= block_size or cur == 0:
+                cur += int(sizes[i]); i += 1
+            else:
+                rows.append((tok, tok + cur)); tok += cur; cur = 0
+        if cur:
+            rows.append((tok, tok + cur))
+    elif mode == 2:
+        tok = cur = i = 0
+        while i < len(sizes):
+            if (cur + sizes[i] <= block_size or cur == 0) and sizes[i] != document_sep_len:
+                cur += int(sizes[i]); i += 1
+            else:
+                if cur > 1:
+                    rows.append((tok, tok + cur))
+                tok += cur; cur = 0
+                if sizes[i] == document_sep_len:
+                    tok += int(sizes[i]); i += 1
+        if cur > 1:
+            rows.append((tok, tok + cur))
+    else:
+        start = 0
+        for sz in sizes:
+            rows.append((start, start + int(sz))); start += int(sz)
+    return np.asarray(rows, np.int64).reshape(-1, 2)
+
+
+def block_to_dataset_index(sizes: np.ndarray, slices: np.ndarray) -> np.ndarray:
+    """[m, 2] slices -> [m, 3] (start_ds_idx, start_offset, end_ds_idx)
+    (_get_block_to_dataset_index_fast equivalent)."""
+    sizes = np.ascontiguousarray(sizes, np.int64)
+    slices = np.ascontiguousarray(slices, np.int64)
+    m = len(slices)
+    lib = get_lib()
+    if lib is not None:
+        out = np.zeros((m, 3), np.int64)
+        lib.block_to_dataset_index(
+            _ptr(sizes, ctypes.c_int64), len(sizes),
+            _ptr(slices, ctypes.c_int64), m, _ptr(out, ctypes.c_int64),
+        )
+        return out
+    starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    out = np.zeros((m, 3), np.int64)
+    for i, (s, e) in enumerate(slices):
+        ds = int(np.searchsorted(starts, s, side="right") - 1)
+        out[i, 0] = ds
+        out[i, 1] = s - starts[ds]
+        out[i, 2] = int(np.searchsorted(starts, max(e - 1, s), side="right") - 1)
     return out
