@@ -216,3 +216,51 @@ def test_triangular_causal_schedule():
         del os.environ["UNILM_TPU_TRI_FLASH"]
     ref = reference(q, k, v, causal=True)
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_causal_q_offset_square_shape_regression():
+    """Regression (round-2 review): causal + nonzero q_offset at T == S must
+    not statically elide the masked body (NaN output)."""
+    T = S = 256
+    q, k, v = rand(0, B, T, H, D), rand(1, B, S, H, D), rand(2, B, S, H, D)
+    q_offset = jnp.asarray(4, jnp.int32)
+    out = fa.flash_attention(
+        q, k, v, causal=True, q_offset=q_offset, interpret=True,
+        block_q=64, block_k=64,
+    )
+    assert bool(jnp.isfinite(out).all())
+    ref = reference(q, k, v, causal=True, q_offset=4)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "causal,window,kv,qoff,square",
+    [
+        (False, 0, None, None, False),
+        (True, 0, None, None, True),    # tri + no_masked_body path
+        (True, 0, None, None, False),
+        (True, 0, None, 4, True),       # q_offset breaks diagonal alignment
+        (True, 64, None, None, True),
+        (True, 0, 100, 32, False),
+    ],
+)
+def test_blocked_kernel_forced(monkeypatch, causal, window, kv, qoff, square):
+    """The one-pass kernel absorbs every small-T shape, so the BLOCKED
+    kernel's body-selection logic (fast/diag/masked, static elision) must be
+    tested explicitly — a round-2 early-return bug shipped green because no
+    CPU test reached the blocked path (caught only on TPU at T>=512)."""
+    monkeypatch.setattr(fa, "_onepass_profitable",
+                        lambda *a, **kw: False)
+    T = S = 128
+    q, k, v = rand(0, B, T, H, D), rand(1, B, S, H, D), rand(2, B, S, H, D)
+    bq, bk = (64, 64) if square else (64, 32)
+    out = fa.flash_attention(
+        q, k, v, causal=causal, window=window,
+        kv_len=None if kv is None else jnp.asarray(kv, jnp.int32),
+        q_offset=None if qoff is None else jnp.asarray(qoff, jnp.int32),
+        interpret=True, block_q=bq, block_k=bk,
+    )
+    assert bool(jnp.isfinite(out).all()), "blocked kernel left output unwritten"
+    ref = reference(q, k, v, causal=causal, window=window,
+                    kv_len=kv, q_offset=qoff or 0)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)

@@ -41,9 +41,9 @@ def box_tokens(box, quantized_size: int = 32) -> str:
 
 
 _GROUNDED = re.compile(
-    r"<phrase>(.*?)</phrase><object>((?:<patch_index_\d{4}>)+)(?:</delimiter_of_multi_objects/>(?:<patch_index_\d{4}>)+)*</object>"
+    r"<phrase>(.*?)</phrase><object>((?:<patch_index_\d{4,}>)+)(?:</delimiter_of_multi_objects/>(?:<patch_index_\d{4,}>)+)*</object>"
 )
-_PAIR = re.compile(r"<patch_index_(\d{4})><patch_index_(\d{4})>")
+_PAIR = re.compile(r"<patch_index_(\d{4,})><patch_index_(\d{4,})>")
 
 
 def parse_grounded_text(
@@ -63,7 +63,7 @@ def parse_grounded_text(
         if boxes:
             entities.append((phrase, boxes))
     clean = re.sub(r"</?(phrase|object)>", "", text)
-    clean = re.sub(r"<patch_index_\d{4}>", "", clean)
+    clean = re.sub(r"<patch_index_\d{4,}>", "", clean)
     clean = clean.replace("</delimiter_of_multi_objects/>", " ")
     clean = re.sub(r"\s+", " ", clean).strip()
     return clean, entities

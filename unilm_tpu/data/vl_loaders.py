@@ -96,7 +96,7 @@ class VLTokenizer:
         out: List[int] = []
         pat = re.compile(
             "|".join(re.escape(s) for s in SPECIAL_TOKENS)
-            + r"|<patch_index_(\d{4})>"
+            + r"|<patch_index_(\d{4,})>"
         )
         pos = 0
         for m in pat.finditer(text):
@@ -213,13 +213,14 @@ def assemble_sample(
     segs = [0]
     loss = [False]
     images: List[np.ndarray] = []
+    n_text = 0
     for kind, payload in segments:
         if kind == "image":
-            if len(images) >= spec.max_images:
-                continue
+            # skip (not break on) images that don't fit so later text
+            # segments still pack — consistent with the max_images skip
             need = 2 + spec.image_tokens
-            if len(tokens) + need + 1 > T:
-                break
+            if len(images) >= spec.max_images or len(tokens) + need + 1 > T:
+                continue
             tokens.append(boi); img_mask.append(False); segs.append(1); loss.append(False)
             for _ in range(spec.image_tokens):
                 tokens.append(pad); img_mask.append(True); segs.append(1); loss.append(False)
@@ -230,9 +231,12 @@ def assemble_sample(
                 if len(tokens) + 1 >= T:
                     break
                 tokens.append(int(t)); img_mask.append(False); segs.append(0); loss.append(True)
+                n_text += 1
     if len(tokens) < T:
         tokens.append(eos); img_mask.append(False); segs.append(0); loss.append(True)
-    if not images or not any(loss):
+    # require an image AND at least one real text token (the trailing eos
+    # alone must not keep an image-only sample alive)
+    if not images or n_text == 0:
         return None
     n = len(tokens)
     tokens += [pad] * (T - n)

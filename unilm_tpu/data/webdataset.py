@@ -92,10 +92,32 @@ def webdataset_stream(
     return it.MapIterator(samples, decode or default_decode)
 
 
+class _FilterIterator(it.CheckpointableIterator):
+    """Drop samples missing required fields (tar groups routinely carry
+    metadata-only keys); state passes through to the source."""
+
+    def __init__(self, source, required):
+        self._source = source
+        self._required = tuple(required)
+
+    def getstate(self):
+        return {"source": self._source.getstate()}
+
+    def setstate(self, state):
+        self._source.setstate(state["source"] if state else None)
+
+    def __next__(self):
+        while True:
+            s = next(self._source)
+            if all(r in s for r in self._required):
+                return s
+
+
 def classification_batches(
     stream: it.CheckpointableIterator, batch_size: int
 ) -> it.CheckpointableIterator:
     """-> checkpointable {'images' [B,H,W,3], 'labels' [B]} batches."""
+    stream = _FilterIterator(stream, ("image", "label"))
     batches = it.FixedBatchIterator(stream, batch_size, drop_last=True)
 
     def collate(samples):

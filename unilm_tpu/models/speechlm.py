@@ -39,6 +39,7 @@ class SpeechLMConfig:
     conv_stride: Tuple[int, ...] = (5, 2, 2)
     unit_vocab: int = 504      # speech units (e.g. HuBERT km500 + specials)
     text_vocab: int = 1000     # phoneme/character vocabulary
+    max_text_positions: int = 1024
     dropout: float = 0.0
     dtype: Any = jnp.float32
     use_flash: bool = True
@@ -73,6 +74,10 @@ class SpeechLM(nn.Module):
         )
         self.text_embed = nn.Embed(cfg.text_vocab, cfg.hidden_size,
                                    name="text_embed")
+        # the speech stream gets conv positional features; the text stream
+        # needs its own positions or the MLM objective is order-blind
+        self.text_pos = nn.Embed(cfg.max_text_positions, cfg.hidden_size,
+                                 name="text_pos")
         self.encoder = Encoder(cfg.enc_cfg(), name="encoder")
         self.unit_head = nn.Dense(cfg.unit_vocab, name="unit_head")
         self.text_head = nn.Dense(cfg.text_vocab, name="text_head")
@@ -95,6 +100,7 @@ class SpeechLM(nn.Module):
 
     def encode_text(self, tokens: jax.Array, deterministic: bool = True):
         x = self.text_embed(tokens)
+        x = x + self.text_pos(jnp.arange(tokens.shape[1]))[None]
         return self.encoder(x, deterministic=deterministic)
 
     # ------------------------------------------------------------------ #

@@ -113,7 +113,7 @@ def attention(
             and S < 1024
             and fa.is_available()
             and fa.supports(q, k, bias, window)
-            and fa._onepass_profitable(B, H, T, S, D, bias, window)
+            and fa._onepass_profitable(B, H, T, S, D, bias, window, q.dtype.itemsize)
         ):
             return fa.fused_encoder_attention(
                 q, k, v, bias,

@@ -215,33 +215,31 @@ def _flash_kernel(
             p = jnp.exp(s - m_new)
             _accumulate(p, m_new, m_prev)
 
-    if no_masked_body:
-        return
-
-    @pl.when(
-        jnp.logical_and(
-            run, jnp.logical_not(jnp.logical_or(full, diag))
+    if not no_masked_body:
+        @pl.when(
+            jnp.logical_and(
+                run, jnp.logical_not(jnp.logical_or(full, diag))
+            )
         )
-    )
-    def _body_masked():
-        s = _compute_s()
-        rows = r0 + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-        cols = c0 + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-        keep = cols < limit
-        if causal:
-            keep = jnp.logical_and(keep, cols <= rows)
-        if window > 0:
-            keep = jnp.logical_and(keep, rows - cols < window)
-        if has_mask:
-            keep = jnp.logical_and(keep, mask_ref[0, :][None, :] != 0)
-        s = jnp.where(keep, s, NEG_INF)
+        def _body_masked():
+            s = _compute_s()
+            rows = r0 + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            cols = c0 + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            keep = cols < limit
+            if causal:
+                keep = jnp.logical_and(keep, cols <= rows)
+            if window > 0:
+                keep = jnp.logical_and(keep, rows - cols < window)
+            if has_mask:
+                keep = jnp.logical_and(keep, mask_ref[0, :][None, :] != 0)
+            s = jnp.where(keep, s, NEG_INF)
 
-        m_prev = m_ref[:, :1]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        # keep-guard: a row fully masked in its first running block has
-        # m_new = NEG_INF and exp(s - m_new) would be exp(0) = 1
-        p = jnp.where(keep, jnp.exp(s - m_new), 0.0)
-        _accumulate(p, m_new, m_prev)
+            m_prev = m_ref[:, :1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            # keep-guard: a row fully masked in its first running block has
+            # m_new = NEG_INF and exp(s - m_new) would be exp(0) = 1
+            p = jnp.where(keep, jnp.exp(s - m_new), 0.0)
+            _accumulate(p, m_new, m_prev)
 
     @pl.when(j == nk - 1)
     def _finish():
@@ -421,7 +419,9 @@ def _flash_tri_kernel(
         q = q_ref[0, 0]
         k = k_ref[0, 0]
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            **_dot_kwargs(q_ref.dtype),
         )
         if has_bias:
             s = s + bias_ref[0, 0].astype(jnp.float32)
@@ -767,6 +767,7 @@ def _onepass_kernel(
             o = jax.lax.dot_general(
                 p.astype(v_ref.dtype), v_ref[0, h], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                **_dot_kwargs(q_ref.dtype),
             )
             o_ref[0, h] = (o / l).astype(o_ref.dtype)
             lse_ref[0, h] = (m + jnp.log2(l)) * 0.6931471805599453
@@ -875,12 +876,13 @@ def _flash_forward_onepass(
 _ONEPASS_VMEM_BUDGET = 8 * 1024 * 1024
 
 
-def _onepass_profitable(B, H, T, S, D, bias, window) -> bool:
+def _onepass_profitable(B, H, T, S, D, bias, window, itemsize: int = 2) -> bool:
     if T > 2048 or S > 2048:
         return False
     Tp, Sp = _cdiv(T, 8) * 8, _cdiv(S, 128) * 128
     lanes_d = max(D, 128)  # D<128 pads lanes in VMEM
-    qkv = 3 * H * max(Tp, Sp) * lanes_d * 2 * 2  # double-buffered bf16
+    # double-buffered q/k/v at the operand dtype's width (fp32 = 4 bytes)
+    qkv = 3 * H * max(Tp, Sp) * lanes_d * itemsize * 2
     plane = 4 * Tp * Sp * 4  # s/p/keep temporaries fp32
     b = 0
     if bias is not None:
@@ -897,7 +899,7 @@ def _flash_impl(q, k, v, bias, mask, q_offset, limit, causal, window, block_q,
         )
     B, H, T, D = q.shape
     S = k.shape[2]
-    if _onepass_profitable(B, H, T, S, D, bias, window):
+    if _onepass_profitable(B, H, T, S, D, bias, window, q.dtype.itemsize):
         return _flash_forward_onepass(
             q, k, v, bias, mask, q_offset, limit,
             causal=causal, window=window, full_kv=full_kv, interpret=interpret,
@@ -992,7 +994,9 @@ def _bwd_dq_kernel(
         q = q_ref[0, 0]
         k = k_ref[0, 0]
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            **_dot_kwargs(q_ref.dtype),
         )
         if has_bias:
             s = s + bias_ref[0, 0].astype(jnp.float32)
@@ -1075,7 +1079,9 @@ def _bwd_dkv_kernel(
         q = q_ref[0, 0]
         k = k_ref[0, 0]
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            **_dot_kwargs(q_ref.dtype),
         )
         if has_bias:
             s = s + bias_ref[0, 0].astype(jnp.float32)
@@ -1096,7 +1102,9 @@ def _bwd_dkv_kernel(
         do = do_ref[0, 0].astype(jnp.float32)
         # dv += p^T dO
         dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            **_dot_kwargs(q_ref.dtype),
         )
         dp = jax.lax.dot_general(
             do, v_ref[0, 0].astype(jnp.float32), (((1,), (1,)), ((), ())),
@@ -1346,7 +1354,8 @@ def flash_attention(
     # triangular diagonal-block mask, and 1024-blocks amortize per-step
     # overhead best (measured: 108 TF/s at T=4096 vs 57 with 512-blocks;
     # bias blocks add 4 MB f32 per 1024-block, so cap at 512 then).
-    if causal and window == 0 and key_padding_mask is None and T == S:
+    if (causal and window == 0 and key_padding_mask is None and T == S
+            and q_offset is None):
         big = 1024 if bias is None else 512
         blk = min(big, max(block_q, block_k))
         if S < blk:
@@ -1361,8 +1370,12 @@ def flash_attention(
     if tri:
         block_q = block_k = min(block_q, block_k)
 
+    # full_kv (static): the kv prefix is the whole cache AND queries start
+    # at 0 — both are needed before masked-body elision / pad-fold fast
+    # paths are safe (a nonzero q_offset puts causal crossings off the
+    # r0 == c0 diagonal).
     out = _flash(
         qt, kt, vt, bias, mask, qoff, limit, causal, window, block_q, block_k,
-        interpret, tri, kv_len is None
+        interpret, tri, kv_len is None and q_offset is None
     )
     return out.swapaxes(1, 2)

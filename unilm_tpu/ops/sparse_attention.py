@@ -49,8 +49,14 @@ def update_block_summary(
     block_size: int,
 ) -> jax.Array:
     """Incremental refresh of the one block containing position `pos`."""
+    nb = summaries.shape[1]
     bi = pos // block_size
-    start = bi * block_size
+    # a position in the uncovered tail (S not a multiple of block_size) has
+    # no summary row; dynamic_update_slice would CLAMP onto block nb-1 and
+    # corrupt it, so such writes become no-ops
+    in_range = bi < nb
+    bi_c = jnp.minimum(bi, nb - 1)
+    start = bi_c * block_size
     blk = jax.lax.dynamic_slice(
         k_cache, (0, start, 0, 0),
         (k_cache.shape[0], block_size, k_cache.shape[2], k_cache.shape[3]),
@@ -59,9 +65,10 @@ def update_block_summary(
     n_valid = jnp.clip(pos + 1 - start, 1, block_size)
     mask = (jnp.arange(block_size) < n_valid)[None, :, None, None]
     mean = jnp.sum(blk * mask, axis=1) / n_valid.astype(blk.dtype)
-    return jax.lax.dynamic_update_slice(
-        summaries, mean[:, None], (0, bi, 0, 0)
+    updated = jax.lax.dynamic_update_slice(
+        summaries, mean[:, None], (0, bi_c, 0, 0)
     )
+    return jnp.where(in_range, updated, summaries)
 
 
 def select_blocks(
