@@ -1,0 +1,162 @@
+"""On-chip Pallas kernel validation: every custom kernel vs its XLA oracle.
+
+The CPU test suite runs kernels in interpret mode, which cannot catch
+Mosaic/TPU-lowering bugs (a round-2 unwritten-output bug shipped green on
+CPU and surfaced only on real hardware). This script runs each kernel ON
+THE CHIP at shapes that exercise the TPU-only paths (blocked grids, tri
+mask, one-pass, layout-native, paged DMA) and compares against XLA.
+
+Run every round:  python benchmarks/kernel_check.py
+Exit code 0 + one PASS line per kernel, or FAIL with the max error.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FAILED = []
+
+
+def check(name, got, want, tol):
+    err = float(jnp.max(jnp.abs(got.astype(jnp.float32) - want.astype(jnp.float32))))
+    ok = err <= tol and bool(jnp.isfinite(got.astype(jnp.float32)).all())
+    print(f"{'PASS' if ok else 'FAIL'} {name}: max_err {err:.2e} (tol {tol:.0e})")
+    if not ok:
+        FAILED.append(name)
+
+
+def ref_attn(q, k, v, causal=False, window=0, kv_len=None, q_offset=0, kpm=None,
+             bias=None, scale=None):
+    from unilm_tpu.ops.attention import (
+        dot_product_attention, make_causal_mask, make_window_mask,
+    )
+
+    T, S = q.shape[1], k.shape[1]
+    qp, kp = jnp.arange(T) + q_offset, jnp.arange(S)
+    mask = None
+
+    def _and(a, b):
+        return b if a is None else a & b
+
+    if kpm is not None:
+        mask = _and(mask, kpm[:, None, None, :])
+    if causal:
+        mask = _and(mask, make_causal_mask(qp, kp)[None, None])
+    if window:
+        mask = _and(mask, make_window_mask(qp, kp, window)[None, None])
+    if kv_len is not None:
+        mask = _and(mask, (kp < kv_len)[None, None, None, :])
+    return dot_product_attention(q, k, v, bias=bias, mask=mask, scale=scale)
+
+
+def main():
+    assert jax.default_backend() == "tpu", "run on the chip"
+    from unilm_tpu.ops import flash_attention as fa
+
+    B, H, D = 2, 4, 64
+    r = lambda s, *sh: jax.random.normal(jax.random.PRNGKey(s), sh, jnp.float32) * 0.5
+
+    # ---- blocked flash: every body-selection path at T >= 512 -------------
+    T = S = 1024
+    q, k, v = r(0, B, T, H, D), r(1, B, S, H, D), r(2, B, S, H, D)
+    j = jax.jit(lambda q, k, v, **kw: fa.flash_attention(q, k, v, **kw),
+                static_argnames=("causal", "window", "block_q", "block_k"))
+    check("flash causal sq1024+tri", j(q, k, v, causal=True),
+          ref_attn(q, k, v, causal=True), 5e-3)
+    check("flash causal sq512", j(q, k, v, causal=True, block_q=512, block_k=512),
+          ref_attn(q, k, v, causal=True), 5e-3)
+    check("flash noncausal", j(q, k, v), ref_attn(q, k, v), 5e-3)
+    check("flash window=128", j(q, k, v, causal=True, window=128),
+          ref_attn(q, k, v, causal=True, window=128), 5e-3)
+    qo = jnp.asarray(64, jnp.int32)
+    check("flash causal q_offset",
+          jax.jit(lambda q, k, v: fa.flash_attention(q, k, v, causal=True, q_offset=qo))(q, k, v),
+          ref_attn(q, k, v, causal=True, q_offset=64), 5e-3)
+    kl = jnp.asarray(700, jnp.int32)
+    check("flash prefill kv_len+offset",
+          jax.jit(lambda q2, k, v: fa.flash_attention(
+              q2, k, v, causal=True, q_offset=qo, kv_len=kl))(q[:, :256], k, v),
+          ref_attn(q[:, :256], k, v, causal=True, q_offset=64, kv_len=700), 5e-3)
+    kpm = kpm2 = jnp.ones((B, S), bool).at[0, 800:].set(False)
+    check("flash key-padding",
+          jax.jit(lambda q, k, v: fa.flash_attention(q, k, v, key_padding_mask=kpm))(q, k, v),
+          ref_attn(q, k, v, kpm=kpm), 5e-3)
+    bias = r(3, 1, H, T, S)
+    check("flash bias",
+          jax.jit(lambda q, k, v, b: fa.flash_attention(q, k, v, bias=b))(q, k, v, bias),
+          ref_attn(q, k, v, bias=bias), 5e-3)
+
+    # ---- blocked flash backward -------------------------------------------
+    def gl(f):
+        return jax.jit(jax.grad(lambda q, k, v: jnp.sum(f(q, k, v) ** 2),
+                                argnums=(0, 1, 2)))
+
+    gk = gl(lambda q, k, v: fa.flash_attention(q, k, v, causal=True))(q, k, v)
+    gr = gl(lambda q, k, v: ref_attn(q, k, v, causal=True))(q, k, v)
+    for n, a, b in zip("qkv", gk, gr):
+        check(f"flash backward d{n}", a, b, 2e-2)
+    gk = gl(lambda q, k, v: fa.flash_attention(q, k, v, key_padding_mask=kpm2))(q, k, v)
+    gr = gl(lambda q, k, v: ref_attn(q, k, v, kpm=kpm2))(q, k, v)
+    for n, a, b in zip("qkv", gk, gr):
+        check(f"flash backward+kpm d{n}", a, b, 2e-2)
+
+    # ---- one-pass + layout-native encoder kernels --------------------------
+    T2 = S2 = 197
+    q2, k2, v2 = r(0, B, T2, H, D), r(1, B, S2, H, D), r(2, B, S2, H, D)
+    bias2 = r(3, 1, H, T2, S2)
+    check("onepass causal (short T)",
+          jax.jit(lambda q, k, v: fa.flash_attention(q, k, v, causal=True))(q2, k2, v2),
+          ref_attn(q2, k2, v2, causal=True), 5e-3)
+    check("fused_encoder_attention",
+          jax.jit(lambda q, k, v, b: fa.fused_encoder_attention(q, k, v, b, D**-0.5))(
+              q2, k2, v2, bias2),
+          ref_attn(q2, k2, v2, bias=bias2), 5e-3)
+
+    # ---- paged decode kernel ----------------------------------------------
+    from unilm_tpu.ops.paged_attention import paged_decode_attention
+
+    page, MP = 64, 16
+    P = B * MP + 4
+    rng = np.random.RandomState(0)
+    qd = r(0, B, 1, 16, D)
+    kp_ = r(1, P, page, 16, D)
+    vp_ = r(2, P, page, 16, D)
+    tables = jnp.asarray(rng.permutation(P)[: B * MP].reshape(B, MP), jnp.int32)
+    lengths = jnp.asarray([900, 1000], jnp.int32)
+    got = jax.jit(paged_decode_attention)(qd, kp_, vp_, tables, lengths)
+    kg = kp_[tables].reshape(B, MP * page, 16, D)
+    vg = vp_[tables].reshape(B, MP * page, 16, D)
+    want = ref_attn(qd, kg, vg, kv_len=None, kpm=(jnp.arange(MP * page)[None] <
+                                                  lengths[:, None]))
+    check("paged decode", got, want, 5e-3)
+
+    # ---- fused rotary / swiglu ---------------------------------------------
+    try:
+        from unilm_tpu.ops import fused
+
+        x = r(0, B, 128, H, D)
+        sin = jnp.sin(jnp.arange(128, dtype=jnp.float32))[:, None].repeat(D // 2, 1)
+        cos = jnp.cos(jnp.arange(128, dtype=jnp.float32))[:, None].repeat(D // 2, 1)
+        if hasattr(fused, "rotary"):
+            got = jax.jit(fused.rotary)(x, sin, cos)
+            from unilm_tpu.core.positional import apply_xpos
+
+            want = apply_xpos(x.swapaxes(1, 2), sin, cos, 1.0).swapaxes(1, 2)
+            check("fused rotary", got, want, 5e-3)
+    except Exception as e:
+        print(f"SKIP fused rotary: {type(e).__name__}")
+
+    print("=" * 40)
+    if FAILED:
+        print("FAILED:", FAILED)
+        sys.exit(1)
+    print("ALL KERNEL CHECKS PASSED")
+
+
+if __name__ == "__main__":
+    main()

@@ -231,7 +231,7 @@ def _flash_kernel(
             if window > 0:
                 keep = jnp.logical_and(keep, rows - cols < window)
             if has_mask:
-                keep = jnp.logical_and(keep, mask_ref[0, :][None, :] != 0)
+                keep = jnp.logical_and(keep, mask_ref[0, 0, :][None, :] != 0)
             s = jnp.where(keep, s, NEG_INF)
 
             m_prev = m_ref[:, :1]
@@ -308,8 +308,12 @@ def _flash_forward(
     if has_mask:
         if mask.shape[1] != Sp:
             mask = jnp.pad(mask, ((0, 0), (0, Sp - mask.shape[1])))
-        in_specs.append(pl.BlockSpec((1, block_k), lambda b, h, i, j, *_: (b, j)))
-        inputs.append(mask.astype(jnp.int32))
+        # [B, 1, Sp]: a (1, block_k) block over [B, Sp] violates Mosaic's
+        # last-two-dims tiling rule whenever B > 1 (sublane 1 != B)
+        in_specs.append(
+            pl.BlockSpec((1, 1, block_k), lambda b, h, i, j, *_: (b, 0, j))
+        )
+        inputs.append(mask.astype(jnp.int32)[:, None, :])
 
     # static triangular mask for diagonal blocks (square blocking only)
     has_tri = causal and window == 0 and not has_mask and block_q == block_k
@@ -431,7 +435,7 @@ def _flash_tri_kernel(
         rows = i * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
         keep = jnp.logical_and(keep, jnp.logical_or(cols <= rows, j < i))
         if has_mask:
-            keep = jnp.logical_and(keep, mask_ref[0, :][None, :] != 0)
+            keep = jnp.logical_and(keep, mask_ref[0, 0, :][None, :] != 0)
         s = jnp.where(keep, s, NEG_INF)
 
         m_prev = m_ref[:, :1]
@@ -508,10 +512,10 @@ def _flash_forward_tri(
 
         def mmap(b, h, t, *_):
             _, j = _tri_ij(t)
-            return (b, j)
+            return (b, 0, j)
 
-        in_specs.append(pl.BlockSpec((1, block), mmap))
-        inputs.append(mask.astype(jnp.int32))
+        in_specs.append(pl.BlockSpec((1, 1, block), mmap))
+        inputs.append(mask.astype(jnp.int32)[:, None, :])
 
     kernel = functools.partial(
         _flash_tri_kernel,
@@ -746,7 +750,7 @@ def _onepass_kernel(
         if window > 0:
             keep = jnp.logical_and(keep, rows - cols < window)
         if has_mask:
-            keep = jnp.logical_and(keep, mask_ref[0, :][None, :] != 0)
+            keep = jnp.logical_and(keep, mask_ref[0, 0, :][None, :] != 0)
 
     for h in range(num_heads):
         s = jax.lax.dot_general(
@@ -835,8 +839,8 @@ def _flash_forward_onepass(
     if has_mask:
         if mask.shape[1] != Sp:
             mask = jnp.pad(mask, ((0, 0), (0, Sp - mask.shape[1])))
-        in_specs.append(pl.BlockSpec((1, Sp), lambda b, *_: (b, 0)))
-        inputs.append(mask.astype(jnp.int32))
+        in_specs.append(pl.BlockSpec((1, 1, Sp), lambda b, *_: (b, 0, 0)))
+        inputs.append(mask.astype(jnp.int32)[:, None, :])
 
     kernel = functools.partial(
         _onepass_kernel,
@@ -1012,7 +1016,7 @@ def _bwd_dq_kernel(
         if window > 0:
             keep = jnp.logical_and(keep, rows - cols < window)
         if has_mask:
-            keep = jnp.logical_and(keep, mask_ref[0, :][None, :] != 0)
+            keep = jnp.logical_and(keep, mask_ref[0, 0, :][None, :] != 0)
         p = jnp.where(keep, jnp.exp(s - lse_ref[0, 0]), 0.0)
         do = do_ref[0, 0].astype(jnp.float32)
         dp = jax.lax.dot_general(
@@ -1097,7 +1101,7 @@ def _bwd_dkv_kernel(
         if window > 0:
             keep = jnp.logical_and(keep, rows - cols < window)
         if has_mask:
-            keep = jnp.logical_and(keep, mask_ref[0, :][None, :] != 0)
+            keep = jnp.logical_and(keep, mask_ref[0, 0, :][None, :] != 0)
         p = jnp.where(keep, jnp.exp(s - lse_ref[0, 0]), 0.0)
         do = do_ref[0, 0].astype(jnp.float32)
         # dv += p^T dO
@@ -1180,14 +1184,14 @@ def _flash_backward_pallas(
             qr = lambda b, h, i, j, *_: (b, h, i, 0)
             bi = lambda b, h, i, j, *_, bb=bb, hb=hb: (
                 b if bb else 0, h if hb else 0, i, j)
-            mi = lambda b, h, i, j, *_: (b, j)
+            mi = lambda b, h, i, j, *_: (b, 0, j)
         else:
             qi = lambda b, h, j, i, *_: (b, h, i, 0)
             ki = lambda b, h, j, i, *_: (b, h, j, 0)
             qr = lambda b, h, j, i, *_: (b, h, i, 0)
             bi = lambda b, h, j, i, *_, bb=bb, hb=hb: (
                 b if bb else 0, h if hb else 0, i, j)
-            mi = lambda b, h, j, i, *_: (b, j)
+            mi = lambda b, h, j, i, *_: (b, 0, j)
         sp = [
             pl.BlockSpec((1, 1, block_q, D), qi),   # q
             pl.BlockSpec((1, 1, block_k, D), ki),   # k
@@ -1201,8 +1205,8 @@ def _flash_backward_pallas(
             sp.append(pl.BlockSpec((1, 1, block_q, block_k), bi))
             extra.append(biasp)
         if has_mask:
-            sp.append(pl.BlockSpec((1, block_k), mi))
-            extra.append(maskp)
+            sp.append(pl.BlockSpec((1, 1, block_k), mi))
+            extra.append(maskp[:, None, :])
         return sp, extra, qi, ki, bi
 
     # --- dq (+ dbias) ---
