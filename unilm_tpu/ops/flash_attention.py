@@ -962,7 +962,11 @@ def _bwd_dq_kernel(
     causal: bool, window: int, has_bias: bool, has_mask: bool,
     block_q: int, block_k: int,
 ):
-    """dq (and per-block dbias) — grid (B, H, nq, nk), k-block innermost."""
+    """dq (and per-block dbias) — grid (B, H, nq, nk), k-block innermost.
+
+    Split bodies like the forward: fully-visible blocks take a mask-free
+    path (the kernels are VPU-bound at small D; iota/compare/where masking
+    nearly doubles the plane passes)."""
     idx = 0
     bias_ref = mask_ref = None
     if has_bias:
@@ -980,44 +984,38 @@ def _bwd_dq_kernel(
     nk = pl.num_programs(3)
     qoff = qoff_ref[0]
     limit = limit_ref[0]
+    r0 = qoff + i * block_q
+    c0 = j * block_k
 
     @pl.when(j == 0)
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    run = j * block_k < limit
+    run = c0 < limit
     if causal:
-        run = jnp.logical_and(run, j * block_k <= qoff + i * block_q + block_q - 1)
+        run = jnp.logical_and(run, c0 <= r0 + block_q - 1)
     if window > 0:
-        run = jnp.logical_and(
-            run, (j + 1) * block_k - 1 >= qoff + i * block_q - window + 1
-        )
+        run = jnp.logical_and(run, c0 + block_k - 1 >= r0 - window + 1)
 
-    @pl.when(run)
-    def _body():
-        q = q_ref[0, 0]
-        k = k_ref[0, 0]
+    full = jnp.zeros((), bool)
+    if not has_mask:
+        full = jnp.logical_and(run, c0 + block_k <= limit)
+        if causal:
+            full = jnp.logical_and(full, c0 + block_k - 1 <= r0)
+        if window > 0:
+            full = jnp.logical_and(full, r0 + block_q - 1 - c0 < window)
+
+    def _compute_s():
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
+            q_ref[0, 0], k_ref[0, 0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             **_dot_kwargs(q_ref.dtype),
         )
         if has_bias:
             s = s + bias_ref[0, 0].astype(jnp.float32)
-        rows = qoff + i * block_q + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 0
-        )
-        cols = j * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 1
-        )
-        keep = cols < limit
-        if causal:
-            keep = jnp.logical_and(keep, cols <= rows)
-        if window > 0:
-            keep = jnp.logical_and(keep, rows - cols < window)
-        if has_mask:
-            keep = jnp.logical_and(keep, mask_ref[0, 0, :][None, :] != 0)
-        p = jnp.where(keep, jnp.exp(s - lse_ref[0, 0]), 0.0)
+        return s
+
+    def _grads(p):
         do = do_ref[0, 0].astype(jnp.float32)
         dp = jax.lax.dot_general(
             do, v_ref[0, 0].astype(jnp.float32), (((1,), (1,)), ((), ())),
@@ -1028,10 +1026,29 @@ def _bwd_dq_kernel(
         if has_bias:
             dbias_ref[0, 0] = ds
         acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
-            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            ds.astype(k_ref.dtype), k_ref[0, 0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             **_dot_kwargs(q_ref.dtype),
         )
+
+    if not has_mask:
+        @pl.when(full)
+        def _body_fast():
+            _grads(jnp.exp(_compute_s() - lse_ref[0, 0]))
+
+    @pl.when(jnp.logical_and(run, jnp.logical_not(full)))
+    def _body_masked():
+        s = _compute_s()
+        rows = r0 + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        cols = c0 + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        keep = cols < limit
+        if causal:
+            keep = jnp.logical_and(keep, cols <= rows)
+        if window > 0:
+            keep = jnp.logical_and(keep, rows - cols < window)
+        if has_mask:
+            keep = jnp.logical_and(keep, mask_ref[0, 0, :][None, :] != 0)
+        _grads(jnp.where(keep, jnp.exp(s - lse_ref[0, 0]), 0.0))
 
     if has_bias:
         @pl.when(jnp.logical_not(run))
@@ -1065,44 +1082,39 @@ def _bwd_dkv_kernel(
     qoff = qoff_ref[0]
     limit = limit_ref[0]
 
+    r0 = qoff + i * block_q
+    c0 = j * block_k
+
     @pl.when(i == 0)
     def _init():
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    run = j * block_k < limit
+    run = c0 < limit
     if causal:
-        run = jnp.logical_and(run, j * block_k <= qoff + i * block_q + block_q - 1)
+        run = jnp.logical_and(run, c0 <= r0 + block_q - 1)
     if window > 0:
-        run = jnp.logical_and(
-            run, (j + 1) * block_k - 1 >= qoff + i * block_q - window + 1
-        )
+        run = jnp.logical_and(run, c0 + block_k - 1 >= r0 - window + 1)
 
-    @pl.when(run)
-    def _body():
-        q = q_ref[0, 0]
-        k = k_ref[0, 0]
+    full = jnp.zeros((), bool)
+    if not has_mask:
+        full = jnp.logical_and(run, c0 + block_k <= limit)
+        if causal:
+            full = jnp.logical_and(full, c0 + block_k - 1 <= r0)
+        if window > 0:
+            full = jnp.logical_and(full, r0 + block_q - 1 - c0 < window)
+
+    def _compute_s():
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
+            q_ref[0, 0], k_ref[0, 0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             **_dot_kwargs(q_ref.dtype),
         )
         if has_bias:
             s = s + bias_ref[0, 0].astype(jnp.float32)
-        rows = qoff + i * block_q + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 0
-        )
-        cols = j * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 1
-        )
-        keep = cols < limit
-        if causal:
-            keep = jnp.logical_and(keep, cols <= rows)
-        if window > 0:
-            keep = jnp.logical_and(keep, rows - cols < window)
-        if has_mask:
-            keep = jnp.logical_and(keep, mask_ref[0, 0, :][None, :] != 0)
-        p = jnp.where(keep, jnp.exp(s - lse_ref[0, 0]), 0.0)
+        return s
+
+    def _grads(p):
         do = do_ref[0, 0].astype(jnp.float32)
         # dv += p^T dO
         dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
@@ -1118,10 +1130,29 @@ def _bwd_dkv_kernel(
         ds = p * (dp - delta_ref[0, 0])
         # dk += ds^T q   (q is pre-scaled, so this is grad wrt unscaled k)
         dk_acc[:] = dk_acc[:] + jax.lax.dot_general(
-            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            ds.astype(q_ref.dtype), q_ref[0, 0], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             **_dot_kwargs(q_ref.dtype),
         )
+
+    if not has_mask:
+        @pl.when(full)
+        def _body_fast():
+            _grads(jnp.exp(_compute_s() - lse_ref[0, 0]))
+
+    @pl.when(jnp.logical_and(run, jnp.logical_not(full)))
+    def _body_masked():
+        s = _compute_s()
+        rows = r0 + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        cols = c0 + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        keep = cols < limit
+        if causal:
+            keep = jnp.logical_and(keep, cols <= rows)
+        if window > 0:
+            keep = jnp.logical_and(keep, rows - cols < window)
+        if has_mask:
+            keep = jnp.logical_and(keep, mask_ref[0, 0, :][None, :] != 0)
+        _grads(jnp.where(keep, jnp.exp(s - lse_ref[0, 0]), 0.0))
 
     @pl.when(i == nq - 1)
     def _finish():
