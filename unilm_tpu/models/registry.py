@@ -44,6 +44,7 @@ def _populate():
     from unilm_tpu.models import layoutlmv3 as L3
     from unilm_tpu.models import markuplm as M
     from unilm_tpu.models import trocr as T
+    from unilm_tpu.models import retnet as RN
     from unilm_tpu.models import yoco as Y
     from unilm_tpu.models.diff_transformer import DiffTransformerConfig, DiffTransformerLM
     from unilm_tpu.models.retrieval import EmbeddingModel, TextEncoderConfig
@@ -73,6 +74,8 @@ def _populate():
     register("kosmos2_5", K.kosmos2_5, K.UniGPT)
 
     register("yoco_base", Y.YOCOConfig, Y.YOCO)
+    register("retnet_base", RN.retnet_base, RN.RetNetDecoder)
+    register("retnet_medium", RN.retnet_medium, RN.RetNetDecoder)
     register("diff_transformer_base", DiffTransformerConfig, DiffTransformerLM)
     register("unilm_seq2seq_base", UniLMConfig, UniLMForSeq2Seq)
     register("wavlm_base", WavLMConfig, WavLMModel)

@@ -50,8 +50,13 @@ def chunk_gate_retention(
     chunk_size: int = 256,
     initial_state: Optional[jax.Array] = None,  # [B, H, D, D]
 ) -> Tuple[jax.Array, jax.Array]:
-    """Chunk-parallel gated retention. Returns (o [B,T,H,D], final_state)."""
+    """Chunk-parallel gated retention. Returns (o [B,T,H,Dv], final_state).
+
+    Supports Dv != Dk (RetNet's value dim is 2x the key dim); the state is
+    [B, H, Dk, Dv].
+    """
     B, T, H, D = q.shape
+    Dv = v.shape[-1]
     C = min(chunk_size, T)
     pad = (-T) % C
     if pad:
@@ -70,7 +75,7 @@ def chunk_gate_retention(
     gc = g.reshape(B, n_chunks, C, H).transpose(1, 0, 3, 2).astype(jnp.float32)  # [N,B,H,C]
 
     if initial_state is None:
-        initial_state = jnp.zeros((B, H, D, D), jnp.float32)
+        initial_state = jnp.zeros((B, H, D, Dv), jnp.float32)
 
     def body(state, xs):
         qi, ki, vi, gi = xs  # [B,H,C,D], gi [B,H,C]
@@ -95,15 +100,15 @@ def chunk_gate_retention(
         return state, o
 
     final_state, outs = jax.lax.scan(body, initial_state, (qc, kc, vc, gc))
-    # [N, B, H, C, D] -> [B, T, H, D]
-    o = outs.transpose(1, 0, 3, 2, 4).reshape(B, n_chunks * C, H, D)[:, :T]
+    # [N, B, H, C, Dv] -> [B, T, H, Dv]
+    o = outs.transpose(1, 0, 3, 2, 4).reshape(B, n_chunks * C, H, Dv)[:, :T]
     return o.astype(q.dtype), final_state
 
 
 def naive_gate_retention(q, k, v, g):
     """O(T) recurrent reference for testing."""
     B, T, H, D = q.shape
-    state = jnp.zeros((B, H, D, D), jnp.float32)
+    state = jnp.zeros((B, H, D, v.shape[-1]), jnp.float32)
     outs = []
     for t in range(T):
         o, state = recurrent_gate_retention(
