@@ -151,6 +151,14 @@ class MultiheadAttention(nn.Module):
             )
             q = (q * qscale[None, :, None, None]).astype(q.dtype)
 
+        # QKV capture for distillation (MiniLM relation distillation,
+        # minilm/README.md): a no-op unless the caller applies the module
+        # with mutable=["intermediates"].
+        if mode == "train":
+            self.sow("intermediates", "attn_q", q)
+            self.sow("intermediates", "attn_k", k)
+            self.sow("intermediates", "attn_v", v)
+
         # ------------------------------------------------------------------ #
         out = attention(
             q,

@@ -45,6 +45,7 @@ def _populate():
     from unilm_tpu.models import markuplm as M
     from unilm_tpu.models import trocr as T
     from unilm_tpu.models import retnet as RN
+    from unilm_tpu.models import translation as XT
     from unilm_tpu.models import yoco as Y
     from unilm_tpu.models.diff_transformer import DiffTransformerConfig, DiffTransformerLM
     from unilm_tpu.models.retrieval import EmbeddingModel, TextEncoderConfig
@@ -76,6 +77,8 @@ def _populate():
     register("yoco_base", Y.YOCOConfig, Y.YOCO)
     register("retnet_base", RN.retnet_base, RN.RetNetDecoder)
     register("retnet_medium", RN.retnet_medium, RN.RetNetDecoder)
+    register("xlmt_base", XT.xlmt_base, XT.MultilingualTranslationModel)
+    register("xlmt_big", XT.xlmt_big, XT.MultilingualTranslationModel)
     register("diff_transformer_base", DiffTransformerConfig, DiffTransformerLM)
     register("unilm_seq2seq_base", UniLMConfig, UniLMForSeq2Seq)
     register("wavlm_base", WavLMConfig, WavLMModel)

@@ -132,3 +132,63 @@ def queue_enqueue(queue: jax.Array, ptr: jax.Array, keys: jax.Array):
         queue, jax.lax.stop_gradient(keys), (ptr % K, jnp.zeros((), ptr.dtype))
     )
     return queue, (ptr + N) % K
+
+
+# --------------------------------------------------------------------------- #
+# xTune: consistency regularization for cross-lingual fine-tuning
+# (xtune/src/transformers/modeling_xlm_roberta.py:196-392: KL, r1_loss, r2_loss)
+# --------------------------------------------------------------------------- #
+
+
+def _row_kl(p_logits: jax.Array, q_logits: jax.Array) -> jax.Array:
+    """KL(softmax(q_logits) || softmax(p_logits)) per row, fp32.
+
+    Matches the reference's KL(input, target) = kl_div(log_softmax(input),
+    softmax(target)) up to reduction: we average over rows where the torch
+    default 'mean' divides by numel (rows x classes); the constant factor is
+    absorbed into the lambda weights.
+    """
+    logp = jax.nn.log_softmax(p_logits.astype(jnp.float32), axis=-1)
+    q = jax.nn.softmax(q_logits.astype(jnp.float32), axis=-1)
+    logq = jax.nn.log_softmax(q_logits.astype(jnp.float32), axis=-1)
+    return jnp.sum(q * (logq - logp), axis=-1)
+
+
+def xtune_r1_loss(
+    logits: jax.Array,          # [N, C] clean-view logits
+    noised_logits: jax.Array,   # [N, C] augmented/noised-view logits
+    r1_mask: Optional[jax.Array] = None,  # [N] bool True=regularize
+    r1_lambda: float = 5.0,
+) -> jax.Array:
+    """Example consistency (stage 1): symmetric KL between the two views,
+    each direction treating the other as a fixed target (r1_loss_f/b,
+    modeling_xlm_roberta.py:379-386)."""
+    f = _row_kl(noised_logits, jax.lax.stop_gradient(logits))
+    b = _row_kl(logits, jax.lax.stop_gradient(noised_logits))
+    kl = f + b
+    if r1_mask is not None:
+        w = r1_mask.astype(kl.dtype)
+        return r1_lambda * jnp.sum(kl * w) / jnp.maximum(jnp.sum(w), 1.0)
+    return r1_lambda * jnp.mean(kl)
+
+
+def xtune_r2_loss(
+    logits: jax.Array,           # [N, C] current-model logits
+    stage1_logits: jax.Array,    # [N, C] frozen stage-1 model logits
+    augmented_mask: Optional[jax.Array] = None,  # [N] bool True=augmented row
+    r2_lambda: float = 1.0,
+    use_hard_labels: bool = False,
+) -> jax.Array:
+    """Model consistency (stage 2): pull the current model toward the frozen
+    stage-1 model on augmented examples (modeling_xlm_roberta.py:322-331)."""
+    stage1_logits = jax.lax.stop_gradient(stage1_logits)
+    if use_hard_labels:
+        hard = jnp.argmax(stage1_logits, axis=-1)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        per_row = -jnp.take_along_axis(logp, hard[:, None], axis=-1)[:, 0]
+    else:
+        per_row = _row_kl(logits, stage1_logits)
+    if augmented_mask is not None:
+        w = augmented_mask.astype(per_row.dtype)
+        return r2_lambda * jnp.sum(per_row * w) / jnp.maximum(jnp.sum(w), 1.0)
+    return r2_lambda * jnp.mean(per_row)
