@@ -135,6 +135,26 @@ def main():
                                                   lengths[:, None]))
     check("paged decode", got, want, 5e-3)
 
+    # ---- fused append+attend serving kernel ---------------------------------
+    from unilm_tpu.ops.paged_attention import paged_decode_append_attention
+
+    kn, vn = r(3, B, 1, 16, D), r(4, B, 1, 16, D)
+    got_a, kp2, vp2 = jax.jit(paged_decode_append_attention)(
+        qd, kn, vn, kp_, vp_, tables, lengths)
+    kp_ref = np.array(kp_)
+    vp_ref = np.array(vp_)
+    for b in range(B):
+        L = int(lengths[b])
+        kp_ref[int(tables[b, L // page]), L % page] = np.array(kn)[b, 0]
+        vp_ref[int(tables[b, L // page]), L % page] = np.array(vn)[b, 0]
+    kg2 = kp_ref[np.array(tables)].reshape(B, MP * page, 16, D)
+    vg2 = vp_ref[np.array(tables)].reshape(B, MP * page, 16, D)
+    want_a = ref_attn(qd, jnp.asarray(kg2), jnp.asarray(vg2),
+                      kpm=(jnp.arange(MP * page)[None] < (lengths + 1)[:, None]))
+    check("paged append+attend out", got_a, want_a, 5e-3)
+    check("paged append k-pool", kp2, jnp.asarray(kp_ref), 1e-6)
+    check("paged append v-pool", vp2, jnp.asarray(vp_ref), 1e-6)
+
     # ---- fused rotary / swiglu ---------------------------------------------
     try:
         from unilm_tpu.ops import fused

@@ -1,0 +1,113 @@
+"""Serving engine: paged continuous batching vs contiguous-cache reference.
+
+The key property: `PagedGPT` consumes UniGPT params verbatim and the engine's
+greedy streams match per-sequence contiguous-cache greedy decoding exactly.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unilm_tpu.models.kosmos import UniGPT, UniGPTConfig, make_unigpt_generate_fns
+from unilm_tpu.runtime.generate import GenerationConfig, greedy_generate
+from unilm_tpu.runtime.serving import PagedGPT, ServingConfig, ServingEngine
+
+
+def tiny_cfg(**kw):
+    kw.setdefault("vocab_size", 64)
+    kw.setdefault("embed_dim", 32)
+    kw.setdefault("num_layers", 2)
+    kw.setdefault("num_heads", 2)
+    kw.setdefault("ffn_dim", 48)
+    kw.setdefault("max_positions", 128)
+    kw.setdefault("use_flash", False)
+    kw.setdefault("image_tower", None)
+    return UniGPTConfig(**kw)
+
+
+def init_params(cfg):
+    model = UniGPT(cfg)
+    tokens = jnp.ones((1, 4), jnp.int32)
+    return model.init(jax.random.PRNGKey(0), tokens)["params"]
+
+
+def reference_greedy(cfg, params, prompt, max_new, eos):
+    model = UniGPT(cfg)
+    prefill, step = make_unigpt_generate_fns(model, cache_size=64)
+    gcfg = GenerationConfig(max_new_tokens=max_new, eos=eos,
+                            pad=cfg.padding_idx, beam_size=1)
+    toks, _ = greedy_generate(gcfg, prefill, step, params,
+                              jnp.asarray([prompt], jnp.int32))
+    return np.asarray(toks)[0, len(prompt):]
+
+
+@pytest.mark.parametrize("xpos", [True, False])
+def test_engine_matches_contiguous_greedy(xpos):
+    cfg = tiny_cfg(xpos_rel_pos=xpos)
+    params = init_params(cfg)
+    eos = 63  # unlikely; budget terminates
+    scfg = ServingConfig(max_batch=2, page_size=8, num_pages=32,
+                         max_pages_per_seq=8, max_new_tokens=6, eos=eos,
+                         prefill_bucket=8)
+    eng = ServingEngine(cfg, scfg, params)
+    prompts = {
+        "a": [5, 9, 11],
+        "b": [7, 3, 3, 8, 12, 4, 30],
+        "c": [22, 41],  # admitted only after a slot frees (continuous batching)
+    }
+    for rid, p in prompts.items():
+        eng.submit(rid, p)
+    out = eng.run()
+    for rid, p in prompts.items():
+        ref = reference_greedy(cfg, params, p, 6, eos)
+        np.testing.assert_array_equal(
+            np.asarray(out[rid]), ref[: len(out[rid])], err_msg=rid
+        )
+        assert len(out[rid]) == 6
+
+
+def test_eos_frees_slot_and_pages():
+    cfg = tiny_cfg()
+    params = init_params(cfg)
+    scfg = ServingConfig(max_batch=1, page_size=8, num_pages=16,
+                         max_pages_per_seq=4, max_new_tokens=4, eos=0,
+                         prefill_bucket=8)
+    eng = ServingEngine(cfg, scfg, params)
+    free0 = len(eng.free_pages)
+    eng.submit("x", [5, 6, 7], max_new_tokens=4)
+    eng.submit("y", [9, 10], max_new_tokens=4)
+    out = eng.run()
+    assert len(eng.free_pages) == free0  # all pages returned
+    assert not eng.active.any()
+    assert set(out) == {"x", "y"} and all(len(v) >= 1 for v in out.values())
+
+
+def test_backpressure_raises_when_impossible():
+    cfg = tiny_cfg()
+    params = init_params(cfg)
+    scfg = ServingConfig(max_batch=1, page_size=8, num_pages=4,
+                         max_pages_per_seq=2, max_new_tokens=64, eos=0,
+                         prefill_bucket=8)
+    eng = ServingEngine(cfg, scfg, params)
+    eng.submit("too_long", list(range(3, 20)), max_new_tokens=64)
+    with pytest.raises(MemoryError):
+        eng.run()
+
+
+def test_paged_gpt_accepts_unigpt_params():
+    """Param trees must be identical (serving loads training checkpoints)."""
+    cfg = tiny_cfg()
+    u_params = init_params(cfg)
+    scfg = ServingConfig(page_size=8, num_pages=16, max_pages_per_seq=4)
+    model = PagedGPT(cfg)
+    L, H, D = cfg.num_layers, cfg.num_heads, cfg.embed_dim // cfg.num_heads
+    kp = jnp.zeros((L * scfg.num_pages, scfg.page_size, H, D), cfg.dtype)
+    p_params = model.init(
+        jax.random.PRNGKey(1), jnp.ones((1, 4), jnp.int32), kp, kp,
+        jnp.zeros((1, 4), jnp.int32), jnp.zeros((1,), jnp.int32),
+        jnp.full((1,), 4, jnp.int32),
+    )["params"]
+    u_paths = {jax.tree_util.keystr(p) for p, _ in jax.tree_util.tree_leaves_with_path(u_params)}
+    p_paths = {jax.tree_util.keystr(p) for p, _ in jax.tree_util.tree_leaves_with_path(p_params)}
+    assert p_paths == u_paths

@@ -114,7 +114,11 @@ def paged_attention(
     if use_kernel is None:
         import os
 
+        from unilm_tpu.ops.paged_attention import kernel_supported
+
         use_kernel = (jax.default_backend() == "tpu"
+                      and kernel_supported(k_pool.shape[2], k_pool.shape[3],
+                                           k_pool.shape[1], k_pool.dtype)
                       and not os.environ.get("UNILM_TPU_DISABLE_PAGED_KERNEL"))
     if use_kernel:
         from unilm_tpu.ops.paged_attention import paged_decode_attention

@@ -1,0 +1,429 @@
+"""Batched serving engine: continuous batching over a paged KV cache.
+
+The reference serves its decoder LMs through fairseq's SequenceGenerator
+(one contiguous KV per sequence, batch fixed for the whole generate call)
+and, for ReSA, through vLLM (ReSA/llm). This module is the TPU-native
+serving story that ties our pieces together:
+
+- `PagedGPT`: a serving-mode twin of `models.kosmos.UniGPT`'s text path with
+  an IDENTICAL param tree (embed_tokens / decoder / layers_i / self_attn /
+  ffn ...), so any trained or converted UniGPT checkpoint serves unchanged.
+  Self-attention reads/writes a vLLM-style paged pool ([L, pages, page, H, D]
+  + per-slot block tables) instead of per-sequence contiguous caches:
+  prefill scatters prompt KV into pages (XLA gather attention, causal),
+  decode steps run the Pallas block-table-walking kernel
+  (ops/paged_attention.py, 2.8-3x vs XLA gather on-chip).
+- `ServingEngine`: host-side continuous batching (vLLM block-manager style):
+  fixed decode slots, per-request page reservation at admission, greedy
+  decode for the whole batch in ONE jitted step, finished sequences free
+  their pages and the next queued request is admitted into the empty slot —
+  no generate-call barrier, mixed sequence lengths share HBM.
+
+Design notes (TPU-first): everything on device is static-shape — slot count,
+page pool, block tables, bucketed prefill lengths. Page 0 is a trash page:
+pad positions and inactive slots scatter there so no sequence reads another's
+KV. Pages for prompt+max_new are reserved at admission (simpler than vLLM's
+on-demand growth + preemption; admission backpressures instead).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from collections import deque
+from typing import Any, Dict, List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unilm_tpu.core.config import TransformerConfig
+from unilm_tpu.core.layers import FeedForward, make_norm, scaled_init
+from unilm_tpu.core import positional
+from unilm_tpu.models.kosmos import UniGPTConfig, sinusoidal_table
+
+
+# --------------------------------------------------------------------------- #
+# Serving-mode modules (param-tree mirrors of core Decoder / UniGPT)
+# --------------------------------------------------------------------------- #
+
+
+def _per_batch_xpos(x, pos, scale_base, invert=False):
+    """Apply xPos at per-batch absolute positions. x [B,T,H,D], pos [B,T]."""
+    B, T, H, D = x.shape
+    sin, cos, scale = positional.xpos_sin_cos_scale(
+        pos.reshape(-1), jnp.zeros((), jnp.float32), D, scale_base
+    )
+    sin = sin.reshape(B, 1, T, -1)
+    cos = cos.reshape(B, 1, T, -1)
+    scale = scale.reshape(B, 1, T, -1)
+    if invert:
+        scale = 1.0 / scale
+    xt = x.swapaxes(1, 2)  # [B,H,T,D]
+    out = positional.apply_xpos(xt, sin, cos, scale)
+    return out.swapaxes(1, 2)
+
+
+class PagedSelfAttention(nn.Module):
+    """MultiheadAttention's serving twin: same projections/param names,
+    KV lives in the shared page pool.
+
+    The pool is ONE flat array [L*P, page, H, D] shared by all layers;
+    `block_tables` arrives pre-offset by layer_idx*P (so every update is a
+    chained in-place scatter on the same buffer — no per-layer unstack /
+    restack copies, which would move GBs per decode step)."""
+
+    cfg: TransformerConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,  # [B, T, E]
+        k_pool: jax.Array,  # [L*P, page, H, D] flat pool
+        v_pool: jax.Array,
+        block_tables: jax.Array,  # [B, MP] int32, layer-offset applied
+        lengths: jax.Array,  # [B] tokens already in cache
+        n_valid: jax.Array,  # [B] valid (non-pad) tokens in x
+        trash_page: int = 0,  # this layer's trash page id
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        cfg = self.cfg
+        H, D, E = cfg.num_heads, cfg.head_dim, cfg.embed_dim
+        B, T = x.shape[0], x.shape[1]
+        page = k_pool.shape[1]
+
+        qk_init = scaled_init(nn.initializers.xavier_uniform(), 2**-0.5)
+        vo_scale = (1.0 / cfg.deepnorm_init_div) * cfg.subln_init_mul
+        v_init = scaled_init(nn.initializers.xavier_uniform(), (2**-0.5) * vo_scale)
+        o_init = scaled_init(nn.initializers.xavier_uniform(), vo_scale)
+
+        def proj(name, init):
+            return nn.Dense(
+                H * D, kernel_init=init, use_bias=cfg.use_bias, dtype=cfg.dtype,
+                param_dtype=cfg.param_dtype, name=name,
+            )
+
+        q = proj("q_proj", qk_init)(x).reshape(B, T, H, D)
+        k = proj("k_proj", qk_init)(x).reshape(B, T, H, D)
+        v = proj("v_proj", v_init)(x).reshape(B, T, H, D)
+
+        pos = lengths[:, None] + jnp.arange(T)[None, :]  # [B, T] absolute
+        if cfg.xpos_rel_pos:
+            q = _per_batch_xpos(q, pos, cfg.xpos_scale_base)
+            k = _per_batch_xpos(k, pos, cfg.xpos_scale_base, invert=True)
+            k_len = (lengths + n_valid).astype(jnp.float32)  # [B]
+            p = jnp.maximum(pos.astype(jnp.float32), 1.0)
+            mult = jnp.maximum(1.0, jnp.log(p) / math.log(cfg.scale_length))
+            qscale = jnp.where(
+                (k_len > cfg.scale_length)[:, None], mult, jnp.ones_like(mult)
+            )
+            q = (q * qscale[:, :, None, None]).astype(q.dtype)
+
+        scale = cfg.attn_scale if cfg.attn_scale is not None else D**-0.5
+        from unilm_tpu.ops.paged_attention import kernel_supported
+
+        if (T == 1 and jax.default_backend() == "tpu"
+                and kernel_supported(H, D, page, k_pool.dtype)):
+            # fused append+attend kernel with input/output-aliased pools:
+            # the pool arrays flow through all layers with zero copies
+            # (XLA-level scatter or DUS formulations copy the pool per layer
+            # because the pallas read keeps the pre-update buffer alive).
+            from unilm_tpu.ops.paged_attention import paged_decode_append_attention
+
+            out, k_pool, v_pool = paged_decode_append_attention(
+                q, k, v, k_pool, v_pool, block_tables, lengths, scale=scale
+            )
+            out = out.reshape(B, T, H * D)
+            if cfg.subln:
+                out = make_norm(cfg, "inner_attn_ln")(out)
+            out = nn.Dense(
+                E, kernel_init=o_init, use_bias=cfg.use_bias, dtype=cfg.dtype,
+                param_dtype=cfg.param_dtype, name="out_proj",
+            )(out)
+            return out, k_pool, v_pool
+
+        # ---- scatter new KV into pages (invalid positions -> trash page)
+        valid = jnp.arange(T)[None, :] < n_valid[:, None]  # [B, T]
+        slot = pos // page
+        slot = jnp.clip(slot, 0, block_tables.shape[1] - 1)
+        page_ids = jnp.where(
+            valid, jnp.take_along_axis(block_tables, slot, axis=1), trash_page
+        )
+        offs = pos % page
+        k_pool = k_pool.at[page_ids, offs].set(k.astype(k_pool.dtype))
+        v_pool = v_pool.at[page_ids, offs].set(v.astype(v_pool.dtype))
+
+        if T == 1:
+            from unilm_tpu.runtime.paged_kv import paged_attention
+
+            out = paged_attention(
+                q, k_pool, v_pool, block_tables, lengths + 1, scale=scale
+            )
+        else:
+            # prefill: gather this batch's pages, causal + ragged mask
+            kk = k_pool[block_tables].reshape(B, -1, H, D)  # [B, S, H, D]
+            vv = v_pool[block_tables].reshape(B, -1, H, D)
+            S = kk.shape[1]
+            j = jnp.arange(S)[None, None, :]  # logical key positions
+            causal_ok = j <= pos[:, :, None]  # [B, T, S]
+            in_seq = j < (lengths + n_valid)[:, None, None]
+            logits = jnp.einsum(
+                "bthd,bshd->bhts", q * scale, kk, preferred_element_type=jnp.float32
+            )
+            logits = jnp.where((causal_ok & in_seq)[:, None], logits, -1e30)
+            p = jax.nn.softmax(logits, axis=-1).astype(vv.dtype)
+            out = jnp.einsum("bhts,bshd->bthd", p, vv)
+
+        out = out.reshape(B, T, H * D)
+        if cfg.subln:
+            out = make_norm(cfg, "inner_attn_ln")(out)
+        out = nn.Dense(
+            E, kernel_init=o_init, use_bias=cfg.use_bias, dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype, name="out_proj",
+        )(out)
+        return out, k_pool, v_pool
+
+
+class PagedDecoderLayer(nn.Module):
+    cfg: TransformerConfig
+    layer_idx: int = 0
+    pages_per_layer: int = 0  # logical pages P; this layer owns [i*P, (i+1)*P)
+
+    @nn.compact
+    def __call__(self, x, k_pool, v_pool, block_tables, lengths, n_valid):
+        cfg = self.cfg
+        assert cfg.normalize_before, "serving path assumes pre-LN (Magneto/subln)"
+        off = self.layer_idx * self.pages_per_layer
+        residual = x
+        h = make_norm(cfg, "self_attn_layer_norm")(x)
+        h, k_pool, v_pool = PagedSelfAttention(cfg, name="self_attn")(
+            h, k_pool, v_pool, block_tables + off, lengths, n_valid,
+            trash_page=off,
+        )
+        x = residual + h
+        residual = x
+        h = make_norm(cfg, "final_layer_norm")(x)
+        from unilm_tpu.core.transformer import _build_ffn
+
+        ffn, is_moe = _build_ffn(cfg, self.layer_idx)
+        assert not is_moe, "MoE serving not supported yet"
+        x = residual + ffn(h, deterministic=True)
+        return x, k_pool, v_pool
+
+
+class PagedDecoderStack(nn.Module):
+    cfg: TransformerConfig
+    pages_per_layer: int = 0
+
+    @nn.compact
+    def __call__(self, x, k_pool, v_pool, block_tables, lengths, n_valid):
+        cfg = self.cfg
+        for i in range(cfg.num_layers):
+            x, k_pool, v_pool = PagedDecoderLayer(
+                cfg, layer_idx=i, pages_per_layer=self.pages_per_layer,
+                name=f"layers_{i}",
+            )(x, k_pool, v_pool, block_tables, lengths, n_valid)
+        if cfg.normalize_before:
+            x = make_norm(cfg, "layer_norm")(x)
+        return x, k_pool, v_pool
+
+
+class PagedGPT(nn.Module):
+    """UniGPT's text path in serving mode; accepts UniGPT params verbatim."""
+
+    cfg: UniGPTConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        tokens: jax.Array,  # [B, T]
+        k_pools: jax.Array,  # [L*P, page, H, D] flat pool, P logical pages
+        v_pools: jax.Array,
+        block_tables: jax.Array,  # [B, MP] logical page ids
+        lengths: jax.Array,  # [B]
+        n_valid: jax.Array,  # [B]
+        last_logit_only: bool = False,
+    ):
+        cfg = self.cfg
+        tcfg = cfg.decoder_cfg()
+        assert k_pools.shape[0] % cfg.num_layers == 0
+        pages_per_layer = k_pools.shape[0] // cfg.num_layers
+        embed = nn.Embed(
+            cfg.vocab_size, cfg.embed_dim,
+            embedding_init=nn.initializers.normal(cfg.embed_dim**-0.5),
+            dtype=tcfg.dtype, name="embed_tokens",
+        )
+        x = embed(tokens) * (cfg.embed_dim**0.5 if cfg.scale_embedding else 1.0)
+        if cfg.use_positional:
+            positions = (
+                lengths[:, None] + jnp.arange(tokens.shape[1])[None, :]
+                + cfg.padding_idx + 1
+            )
+            if cfg.learned_pos:
+                x = x + nn.Embed(
+                    cfg.max_positions + cfg.padding_idx + 1, cfg.embed_dim,
+                    embedding_init=nn.initializers.normal(cfg.embed_dim**-0.5),
+                    name="embed_positions",
+                )(positions).astype(x.dtype)
+            else:
+                table = jnp.asarray(sinusoidal_table(
+                    cfg.max_positions + cfg.padding_idx + 1, cfg.embed_dim,
+                    cfg.padding_idx,
+                ))
+                x = x + jnp.take(table, positions, axis=0).astype(x.dtype)
+        x, k_pools, v_pools = PagedDecoderStack(
+            tcfg, pages_per_layer=pages_per_layer, name="decoder"
+        )(x, k_pools, v_pools, block_tables, lengths, n_valid)
+        if last_logit_only:
+            x = x[:, -1:]
+        logits = embed.attend(x)
+        return logits, k_pools, v_pools
+
+
+# --------------------------------------------------------------------------- #
+# Continuous-batching engine (host scheduler)
+# --------------------------------------------------------------------------- #
+
+
+@dataclasses.dataclass
+class ServingConfig:
+    max_batch: int = 8
+    page_size: int = 64
+    num_pages: int = 256  # per layer, page 0 reserved as trash
+    max_pages_per_seq: int = 16
+    max_new_tokens: int = 64
+    eos: int = 2
+    prefill_bucket: int = 64  # prompt lengths padded up to a multiple of this
+
+
+@dataclasses.dataclass
+class _Slot:
+    req_id: Any
+    budget: int
+    reserved: int  # pages reserved at admission
+    generated: int = 0
+
+
+class ServingEngine:
+    def __init__(self, cfg: UniGPTConfig, scfg: ServingConfig, params):
+        self.cfg, self.scfg = cfg, scfg
+        self.params = params
+        self.model = PagedGPT(cfg)
+        L, H = cfg.num_layers, cfg.num_heads
+        D = cfg.embed_dim // H
+        self.k_pools = jnp.zeros(
+            (L * scfg.num_pages, scfg.page_size, H, D), cfg.dtype
+        )
+        self.v_pools = jnp.zeros_like(self.k_pools)
+        self.tables = np.zeros((scfg.max_batch, scfg.max_pages_per_seq), np.int32)
+        self.lengths = np.zeros(scfg.max_batch, np.int32)
+        self.cur_tok = np.zeros(scfg.max_batch, np.int32)
+        self.active = np.zeros(scfg.max_batch, bool)
+        self.free_pages: List[int] = list(range(scfg.num_pages - 1, 0, -1))
+        self.slots: List[Optional[_Slot]] = [None] * scfg.max_batch
+        self.queue: deque = deque()
+        self.outputs: Dict[Any, List[int]] = {}
+        self._decode_jit = jax.jit(self._decode_fn, donate_argnums=(0, 1))
+        self._prefill_jits: Dict[int, Any] = {}
+
+    # ---- device fns ------------------------------------------------------ #
+    def _decode_fn(self, k_pools, v_pools, tokens, tables, lengths):
+        n_valid = jnp.ones_like(lengths)
+        logits, k_pools, v_pools = self.model.apply(
+            {"params": self.params}, tokens, k_pools, v_pools, tables,
+            lengths, n_valid,
+        )
+        nxt = jnp.argmax(logits[:, -1].astype(jnp.float32), axis=-1)
+        return nxt.astype(jnp.int32), k_pools, v_pools
+
+    def _prefill_fn(self, k_pools, v_pools, tokens, table, n_valid):
+        logits, k_pools, v_pools = self.model.apply(
+            {"params": self.params}, tokens, k_pools, v_pools, table,
+            jnp.zeros((1,), jnp.int32), n_valid,
+        )
+        # first generated token = argmax at the last valid prompt position
+        last = jnp.take_along_axis(
+            logits.astype(jnp.float32), (n_valid - 1)[:, None, None], axis=1
+        )[:, 0]
+        return jnp.argmax(last, axis=-1).astype(jnp.int32), k_pools, v_pools
+
+    # ---- scheduler ------------------------------------------------------- #
+    def submit(self, req_id, prompt: List[int], max_new_tokens: Optional[int] = None):
+        self.queue.append((req_id, list(prompt), max_new_tokens
+                           or self.scfg.max_new_tokens))
+        self.outputs[req_id] = []
+
+    def _pages_needed(self, total_len: int) -> int:
+        return -(-total_len // self.scfg.page_size)
+
+    def _try_admit(self) -> bool:
+        if not self.queue:
+            return False
+        free_slots = [i for i in range(self.scfg.max_batch) if not self.active[i]]
+        if not free_slots:
+            return False
+        req_id, prompt, budget = self.queue[0]
+        need = self._pages_needed(len(prompt) + budget)
+        if need > self.scfg.max_pages_per_seq or need > len(self.free_pages):
+            return False  # backpressure
+        self.queue.popleft()
+        slot = free_slots[0]
+        pages = [self.free_pages.pop() for _ in range(need)]
+        row = np.zeros(self.scfg.max_pages_per_seq, np.int32)
+        row[: len(pages)] = pages
+        self.tables[slot] = row
+
+        bucket = -(-len(prompt) // self.scfg.prefill_bucket) * self.scfg.prefill_bucket
+        if bucket not in self._prefill_jits:
+            self._prefill_jits[bucket] = jax.jit(
+                self._prefill_fn, donate_argnums=(0, 1)
+            )
+        padded = np.full((1, bucket), self.cfg.padding_idx, np.int32)
+        padded[0, : len(prompt)] = prompt
+        first, self.k_pools, self.v_pools = self._prefill_jits[bucket](
+            self.k_pools, self.v_pools, jnp.asarray(padded),
+            jnp.asarray(row[None]), jnp.asarray([len(prompt)], jnp.int32),
+        )
+        first = int(first[0])
+        self.lengths[slot] = len(prompt)
+        self.cur_tok[slot] = first
+        self.active[slot] = True
+        self.slots[slot] = _Slot(req_id, budget, reserved=need)
+        self._record(slot, first)
+        return True
+
+    def _record(self, slot: int, tok: int):
+        s = self.slots[slot]
+        self.outputs[s.req_id].append(tok)
+        s.generated += 1
+        if tok == self.scfg.eos or s.generated >= s.budget:
+            # free pages, clear slot
+            self.free_pages.extend(int(p) for p in self.tables[slot][: s.reserved])
+            self.tables[slot] = 0
+            self.lengths[slot] = 0
+            self.active[slot] = False
+            self.slots[slot] = None
+
+    def step(self):
+        """One decode step for every active slot (single jitted call)."""
+        nxt, self.k_pools, self.v_pools = self._decode_jit(
+            self.k_pools, self.v_pools,
+            jnp.asarray(self.cur_tok[:, None]), jnp.asarray(self.tables),
+            jnp.asarray(self.lengths),
+        )
+        nxt = np.asarray(nxt)
+        for i in range(self.scfg.max_batch):
+            if self.active[i]:
+                self.lengths[i] += 1
+                self.cur_tok[i] = nxt[i]
+                self._record(i, int(nxt[i]))
+
+    def run(self) -> Dict[Any, List[int]]:
+        while self.queue or self.active.any():
+            while self._try_admit():
+                pass
+            if self.active.any():
+                self.step()
+            elif self.queue:
+                raise MemoryError("queued request can never be admitted")
+        return self.outputs
