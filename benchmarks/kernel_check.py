@@ -10,6 +10,7 @@ Run every round:  python benchmarks/kernel_check.py
 Exit code 0 + one PASS line per kernel, or FAIL with the max error.
 """
 
+import functools
 import os
 import sys
 
@@ -140,7 +141,10 @@ def main():
 
     kn, vn = r(3, B, 1, 16, D), r(4, B, 1, 16, D)
     got_a, kp2, vp2 = jax.jit(paged_decode_append_attention)(
-        qd, kn, vn, kp_, vp_, tables, lengths)
+        qd, kn, vn, kp_.reshape(P, page, 16 * D), vp_.reshape(P, page, 16 * D),
+        tables, lengths)
+    kp2 = kp2.reshape(P, page, 16, D)
+    vp2 = vp2.reshape(P, page, 16, D)
     kp_ref = np.array(kp_)
     vp_ref = np.array(vp_)
     for b in range(B):
@@ -154,6 +158,38 @@ def main():
     check("paged append+attend out", got_a, want_a, 5e-3)
     check("paged append k-pool", kp2, jnp.asarray(kp_ref), 1e-6)
     check("paged append v-pool", vp2, jnp.asarray(vp_ref), 1e-6)
+
+    # ---- contiguous-run append kernel --------------------------------------
+    from unilm_tpu.ops.paged_attention import run_decode_append_attention
+
+    chunk = 4
+    # runs must start chunk-aligned (slab index maps address chunk units)
+    stride_r = -(-MP // chunk) * chunk
+    bases_np = np.asarray([chunk + b * stride_r for b in range(B)], np.int32)
+    # same pool, but sequences live in contiguous runs starting at bases
+    got_r, kr, vr = jax.jit(
+        functools.partial(run_decode_append_attention, chunk=chunk))(
+        qd, kn, vn, kp_.reshape(P, page, 16 * D), vp_.reshape(P, page, 16 * D),
+        jnp.asarray(bases_np), lengths)
+    fk = np.array(kp_).reshape(-1, 16, D)
+    fvv = np.array(vp_).reshape(-1, 16, D)
+    for b in range(B):
+        L = int(lengths[b])
+        fk[bases_np[b] * page + L] = np.array(kn)[b, 0]
+        fvv[bases_np[b] * page + L] = np.array(vn)[b, 0]
+    want_r = []
+    for b in range(B):
+        L = int(lengths[b])
+        rows = bases_np[b] * page + np.arange(L + 1)
+        ks, vs = fk[rows], fvv[rows]
+        s = np.einsum("hd,thd->ht", np.float32(np.array(qd)[b, 0]) * 1.0, np.float32(ks))
+        s = s * (D ** -0.5)
+        p_ = np.exp(s - s.max(1, keepdims=True)); p_ /= p_.sum(1, keepdims=True)
+        want_r.append(np.einsum("ht,thd->hd", p_, np.float32(vs)))
+    want_r = jnp.asarray(np.stack(want_r))[:, None]
+    check("run append+attend out", got_r, want_r, 5e-3)
+    check("run append k-pool", kr.reshape(-1, 16, D), jnp.asarray(fk), 1e-6)
+    check("run append v-pool", vr.reshape(-1, 16, D), jnp.asarray(fvv), 1e-6)
 
     # ---- fused rotary / swiglu ---------------------------------------------
     try:

@@ -43,6 +43,8 @@ def main():
     p.add_argument("--cache", type=int, default=6144, help="contiguous cache size")
     p.add_argument("--steps", type=int, default=32)
     p.add_argument("--page_size", type=int, default=64)
+    p.add_argument("--skip_full", action="store_true", help="skip the full-cache baseline")
+    p.add_argument("--paths", default="table,run", help="comma list: table,run")
     args = p.parse_args()
 
     from unilm_tpu.models.kosmos import UniGPT, kosmos2_5, make_unigpt_generate_fns
@@ -86,56 +88,76 @@ def main():
             float(jc(params, cache, tokens[:, -1:]))
             return time.time() - t0
 
-        try:
+        if args.skip_full:
+            t_contig = None
+        else:
+          try:
             contig_once()  # compile
             t_contig = max(
                 statistics.median([contig_once() for _ in range(5)]) - 0.030,
                 1e-9,
             )
-        except Exception as e:  # noqa: BLE001 - report OOM as a result
+          except Exception as e:  # noqa: BLE001 - report OOM as a result
             t_contig = None
-            print(f"B={B:3d}: contiguous OOM/failed ({type(e).__name__})")
+            print(f"B={B:3d}: full-cache OOM/failed ({type(e).__name__})")
 
         # ---- paged: pool sized for B sequences of ctx+steps tokens
+        # (+chunk_pages tail margin for the run kernel's slab overread)
+        chunk = 8
         mp = -(-(args.ctx + args.steps) // args.page_size)
-        num_pages = B * mp + 1
+        stride = -(-mp // chunk) * chunk  # chunk-aligned run stride
+        num_pages = chunk + B * stride + chunk
         scfg = ServingConfig(page_size=args.page_size, num_pages=num_pages,
-                             max_pages_per_seq=mp)
+                             max_pages_per_seq=mp, chunk_pages=chunk)
         L = cfg.num_layers
-        k_pools = jnp.zeros((L * num_pages, args.page_size, H, D), cfg.dtype)
+        k_pools = jnp.zeros((L * num_pages, args.page_size, H * D), cfg.dtype)
         v_pools = jnp.zeros_like(k_pools)
-        tables = jnp.asarray(
-            1 + np.arange(B * mp, dtype=np.int32).reshape(B, mp))
+        bases_np = chunk + stride * np.arange(B, dtype=np.int32)
+        tables = jnp.asarray(bases_np[:, None] + np.arange(mp, dtype=np.int32))
+        bases = jnp.asarray(bases_np)
         lengths = jnp.full((B,), args.ctx, jnp.int32)
 
-        def loop_paged(params, k_pools, v_pools, tok, lengths):
-            def body(i, carry):
-                tok, k_pools, v_pools, lengths, acc = carry
-                logits, k_pools, v_pools = paged.apply(
-                    {"params": params}, tok, k_pools, v_pools, tables,
-                    lengths, jnp.ones_like(lengths))
-                nxt = jnp.argmax(
-                    logits[:, -1].astype(jnp.float32), -1)[:, None].astype(jnp.int32)
-                return (nxt, k_pools, v_pools, lengths + 1,
-                        acc + logits.astype(jnp.float32).sum())
-            _, _, _, _, acc = jax.lax.fori_loop(
-                0, args.steps, body,
-                (tok, k_pools, v_pools, lengths, 0.0))
-            return acc
+        def make_loop(use_bases):
+            def loop_paged(params, k_pools, v_pools, tok, lengths):
+                def body(i, carry):
+                    tok, k_pools, v_pools, lengths, acc = carry
+                    logits, k_pools, v_pools = paged.apply(
+                        {"params": params}, tok, k_pools, v_pools, tables,
+                        lengths, jnp.ones_like(lengths),
+                        bases=bases if use_bases else None)
+                    nxt = jnp.argmax(
+                        logits[:, -1].astype(jnp.float32), -1)[:, None].astype(jnp.int32)
+                    return (nxt, k_pools, v_pools, lengths + 1,
+                            acc + logits.astype(jnp.float32).sum())
+                _, _, _, _, acc = jax.lax.fori_loop(
+                    0, args.steps, body,
+                    (tok, k_pools, v_pools, lengths, 0.0))
+                return acc
+            return jax.jit(loop_paged)  # no donation: timeit reuses the pools
 
-        jp = jax.jit(loop_paged)  # no donation: timeit reuses the input pools
-        t_paged = timeit(lambda: float(jp(params, k_pools, v_pools,
-                                          tokens[:, -1:], lengths)))
+        paths = args.paths.split(",")
+        t_paged = t_run = None
+        if "table" in paths:
+            jp = make_loop(False)
+            t_paged = timeit(lambda: float(jp(params, k_pools, v_pools,
+                                              tokens[:, -1:], lengths)))
+        if "run" in paths:
+            jr = make_loop(True)
+            t_run = timeit(lambda: float(jr(params, k_pools, v_pools,
+                                            tokens[:, -1:], lengths)))
 
         n = B * args.steps
         contig_txt = (
-            f"contiguous {n/t_contig:8.1f} tok/s ({t_contig/args.steps*1e3:6.2f} ms/step)"
-            if t_contig else "contiguous OOM"
+            f"full-cache {n/t_contig:8.1f} tok/s ({t_contig/args.steps*1e3:6.2f} ms/step)"
+            if t_contig else "full-cache OOM"
         )
-        speed_txt = f" | speedup {t_contig/t_paged:.2f}x" if t_contig else ""
-        print(f"B={B:3d} ctx={args.ctx}: {contig_txt} | paged "
-              f"{n/t_paged:8.1f} tok/s ({t_paged/args.steps*1e3:6.2f} ms/step)"
-              f"{speed_txt}")
+        table_txt = (f"paged-table {n/t_paged:8.1f} tok/s "
+                     f"({t_paged/args.steps*1e3:6.2f} ms/step)"
+                     if t_paged else "paged-table skipped")
+        run_txt = (f"paged-run {n/t_run:8.1f} tok/s "
+                   f"({t_run/args.steps*1e3:6.2f} ms/step)"
+                   if t_run else "paged-run skipped")
+        print(f"B={B:3d} ctx={args.ctx}: {contig_txt} | {table_txt} | {run_txt}")
 
 
 if __name__ == "__main__":

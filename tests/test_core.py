@@ -174,3 +174,25 @@ class TestMoE:
         params = dec.init(jax.random.PRNGKey(1), x)
         y = dec.apply(params, x)
         assert y.shape == x.shape
+
+
+class TestRemat:
+    """--checkpoint-activations equivalent (torchscale decoder.py:351-364)."""
+
+    @pytest.mark.parametrize("module", ["encoder", "decoder"])
+    def test_remat_grad_parity(self, module):
+        x = rand(0, B, T, E)
+
+        def make(remat):
+            cfg = base_cfg(remat=remat)
+            mdl = Encoder(cfg) if module == "encoder" else Decoder(cfg)
+            kw = {} if module == "encoder" else {"mode": "train"}
+            params = mdl.init(jax.random.PRNGKey(1), x, **kw)["params"]
+            loss = lambda p: (mdl.apply({"params": p}, x, **kw) ** 2).sum()
+            return float(loss(params)), jax.grad(loss)(params)
+
+        l0, g0 = make(False)
+        l1, g1 = make(True)
+        np.testing.assert_allclose(l1, l0, rtol=1e-6)
+        diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), g0, g1)
+        assert max(jax.tree.leaves(diffs)) < 1e-5

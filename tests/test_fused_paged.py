@@ -119,3 +119,97 @@ def test_pallas_paged_decode_matches_xla():
                                  interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
                                rtol=1e-4)
+
+
+class TestServingKernelsInterpret:
+    """Interpret-mode semantics of the serving decode kernels (on-chip
+    validation lives in benchmarks/kernel_check.py)."""
+
+    def _ref(self, q, k_new, v_new, k_pool, v_pool, rows_of, lengths, scale):
+        B, _, H, D = q.shape
+        P, page, _, _ = k_pool.shape
+        fk = np.array(k_pool).reshape(P * page, H, D)
+        fv = np.array(v_pool).reshape(P * page, H, D)
+        outs = []
+        for b in range(B):
+            L = int(lengths[b])
+            rows = rows_of(b, L)
+            fk[rows[L]] = k_new[b, 0]
+            fv[rows[L]] = v_new[b, 0]
+            ks, vs = fk[rows[: L + 1]], fv[rows[: L + 1]]
+            s = np.einsum("hd,thd->ht", np.float32(q[b, 0]) * scale, np.float32(ks))
+            p = np.exp(s - s.max(1, keepdims=True))
+            p /= p.sum(1, keepdims=True)
+            outs.append(np.einsum("ht,thd->hd", p, np.float32(vs)))
+        return (np.stack(outs)[:, None],
+                fk.reshape(P, page, H, D), fv.reshape(P, page, H, D))
+
+    def _force_interpret(self, monkeypatch):
+        import unilm_tpu.ops.paged_attention as pa
+        from jax.experimental import pallas as pl
+
+        orig = pl.pallas_call
+
+        def patched(*a, **kw):
+            kw["interpret"] = True
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(pa.pl, "pallas_call", patched)
+        return pa
+
+    def test_table_append_kernel(self, monkeypatch):
+        pa = self._force_interpret(monkeypatch)
+        rng = np.random.RandomState(0)
+        B, H, D, page, P, MP = 3, 4, 64, 16, 20, 6
+        q = rng.randn(B, 1, H, D).astype(np.float32)
+        kn = rng.randn(B, 1, H, D).astype(np.float32)
+        vn = rng.randn(B, 1, H, D).astype(np.float32)
+        kp = rng.randn(P, page, H, D).astype(np.float32)
+        vp = rng.randn(P, page, H, D).astype(np.float32)
+        tables = np.stack([rng.permutation(P)[:MP] for _ in range(B)]).astype(np.int32)
+        lengths = np.asarray([0, 17, MP * page - 1], np.int32)
+        scale = D**-0.5
+
+        def rows_of(b, L):
+            return np.concatenate(
+                [tables[b, p] * page + np.arange(page) for p in range(MP)])
+
+        want, wk, wv = self._ref(q, kn, vn, kp, vp, rows_of, lengths, scale)
+        HD = H * D
+        out, kp2, vp2 = pa.paged_decode_append_attention(
+            jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn),
+            jnp.asarray(kp.reshape(P, page, HD)),
+            jnp.asarray(vp.reshape(P, page, HD)), jnp.asarray(tables),
+            jnp.asarray(lengths), scale)
+        np.testing.assert_allclose(np.float32(out), want, atol=2e-5)
+        np.testing.assert_array_equal(np.float32(kp2).reshape(P, page, H, D), wk)
+        np.testing.assert_array_equal(np.float32(vp2).reshape(P, page, H, D), wv)
+
+    def test_contiguous_run_kernel(self, monkeypatch):
+        pa = self._force_interpret(monkeypatch)
+        rng = np.random.RandomState(1)
+        B, H, D, page, chunk, MPg = 3, 4, 64, 16, 4, 6
+        stride = -(-MPg // chunk) * chunk  # chunk-aligned run stride
+        P = B * stride + chunk
+        q = rng.randn(B, 1, H, D).astype(np.float32)
+        kn = rng.randn(B, 1, H, D).astype(np.float32)
+        vn = rng.randn(B, 1, H, D).astype(np.float32)
+        kp = rng.randn(P, page, H, D).astype(np.float32)
+        vp = rng.randn(P, page, H, D).astype(np.float32)
+        bases = np.asarray([b * stride for b in range(B)], np.int32)
+        lengths = np.asarray([0, 17, MPg * page - 1], np.int32)
+        scale = D**-0.5
+
+        def rows_of(b, L):
+            return bases[b] * page + np.arange(MPg * page)
+
+        want, wk, wv = self._ref(q, kn, vn, kp, vp, rows_of, lengths, scale)
+        HD = H * D
+        out, kp2, vp2 = pa.run_decode_append_attention(
+            jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn),
+            jnp.asarray(kp.reshape(P, page, HD)),
+            jnp.asarray(vp.reshape(P, page, HD)), jnp.asarray(bases),
+            jnp.asarray(lengths), max_pages=MPg, scale=scale, chunk=chunk)
+        np.testing.assert_allclose(np.float32(out), want, atol=2e-5)
+        np.testing.assert_array_equal(np.float32(kp2).reshape(P, page, H, D), wk)
+        np.testing.assert_array_equal(np.float32(vp2).reshape(P, page, H, D), wv)

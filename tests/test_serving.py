@@ -11,7 +11,9 @@ import pytest
 
 from unilm_tpu.models.kosmos import UniGPT, UniGPTConfig, make_unigpt_generate_fns
 from unilm_tpu.runtime.generate import GenerationConfig, greedy_generate
-from unilm_tpu.runtime.serving import PagedGPT, ServingConfig, ServingEngine
+from unilm_tpu.runtime.serving import (
+    PagedGPT, SamplingParams, ServingConfig, ServingEngine, batched_sample,
+)
 
 
 def tiny_cfg(**kw):
@@ -95,6 +97,77 @@ def test_backpressure_raises_when_impossible():
         eng.run()
 
 
+def test_batched_sample_heterogeneous_slots():
+    """Greedy/topk/topp slots coexist in one call; picks respect each cut."""
+    rng = np.random.RandomState(0)
+    V = 200
+    logits = jnp.asarray(rng.randn(4, V).astype(np.float32) * 3)
+    temps = jnp.asarray([0.0, 1.0, 1.0, 0.7], jnp.float32)
+    topks = jnp.asarray([0, 5, 0, 0], jnp.int32)
+    topps = jnp.asarray([0.0, 0.0, 0.3, 0.0], jnp.float32)
+    order = np.argsort(-np.asarray(logits), axis=-1)
+    counts = {1: set(), 2: set(), 3: set()}
+    for i in range(200):
+        tok = np.asarray(batched_sample(
+            logits, temps, topks, topps, jax.random.PRNGKey(i), max_topk=64))
+        assert tok[0] == order[0, 0]  # greedy slot is deterministic argmax
+        for b in counts:
+            counts[b].add(int(tok[b]))
+    assert counts[1] <= set(order[1, :5].tolist())  # top-k=5 respected
+    assert len(counts[1]) > 1  # and actually samples
+    # top-p=0.3: kept set is the smallest prefix with cum-prob >= 0.3
+    p = np.exp(np.sort(np.asarray(logits[2]))[::-1])
+    p /= p.sum()
+    n_keep = int(np.searchsorted(np.cumsum(p), 0.3)) + 1
+    assert counts[2] <= set(order[2, :n_keep].tolist())
+    assert len(counts[3]) > 1  # plain temperature sampling explores
+
+
+def test_engine_sampling_reproducible_and_in_topk():
+    cfg = tiny_cfg()
+    params = init_params(cfg)
+    scfg = ServingConfig(max_batch=2, page_size=8, num_pages=32,
+                         max_pages_per_seq=8, max_new_tokens=6, eos=63,
+                         prefill_bucket=8, seed=11)
+    sp = SamplingParams(temperature=0.9, top_k=4)
+
+    def run():
+        eng = ServingEngine(cfg, scfg, params)
+        eng.submit("s", [5, 9, 11], sampling=sp)
+        eng.submit("g", [7, 3, 3, 8], sampling=SamplingParams())  # greedy
+        return eng.run()
+
+    out1, out2 = run(), run()
+    assert out1 == out2  # fixed seed + admission order => bit-reproducible
+    ref = reference_greedy(cfg, params, [7, 3, 3, 8], 6, 63)
+    np.testing.assert_array_equal(np.asarray(out1["g"]), ref[: len(out1["g"])])
+
+
+def test_tensor_parallel_engine_matches_single_device():
+    """TP serving over a 'tensor' mesh axis produces the single-device greedy
+    streams (pools sharded over heads; GSPMD inserts the Megatron psums)."""
+    from jax.sharding import Mesh
+
+    cfg = tiny_cfg(num_heads=4, embed_dim=64)
+    params = init_params(cfg)
+    scfg = ServingConfig(max_batch=2, page_size=8, num_pages=32,
+                         max_pages_per_seq=8, max_new_tokens=5, eos=63,
+                         prefill_bucket=8)
+    prompts = {"a": [5, 9, 11], "b": [7, 3, 3, 8, 12], "c": [30, 4]}
+
+    def run(mesh):
+        eng = ServingEngine(cfg, scfg, params, mesh=mesh)
+        for rid, p in prompts.items():
+            eng.submit(rid, p)
+        return eng.run()
+
+    base = run(None)
+    devices = np.array(jax.devices()[:4]).reshape(4)
+    with Mesh(devices, ("tensor",)) as mesh:
+        tp = run(mesh)
+    assert base == tp
+
+
 def test_paged_gpt_accepts_unigpt_params():
     """Param trees must be identical (serving loads training checkpoints)."""
     cfg = tiny_cfg()
@@ -102,7 +175,7 @@ def test_paged_gpt_accepts_unigpt_params():
     scfg = ServingConfig(page_size=8, num_pages=16, max_pages_per_seq=4)
     model = PagedGPT(cfg)
     L, H, D = cfg.num_layers, cfg.num_heads, cfg.embed_dim // cfg.num_heads
-    kp = jnp.zeros((L * scfg.num_pages, scfg.page_size, H, D), cfg.dtype)
+    kp = jnp.zeros((L * scfg.num_pages, scfg.page_size, H * D), cfg.dtype)
     p_params = model.init(
         jax.random.PRNGKey(1), jnp.ones((1, 4), jnp.int32), kp, kp,
         jnp.zeros((1, 4), jnp.int32), jnp.zeros((1,), jnp.int32),

@@ -357,24 +357,36 @@ class Decoder(nn.Module):
 
         dpr = list(np.linspace(0, cfg.drop_path_rate, cfg.num_layers))
         for i in range(cfg.num_layers):
-            x = DecoderLayer(
+            layer = DecoderLayer(
                 cfg,
                 layer_idx=i,
                 drop_path=dpr[i],
                 has_cross_attention=self.has_cross_attention,
                 alpha=alpha,
                 name=f"layers_{i}",
-            )(
-                x,
-                encoder_out,
-                self_key_padding_mask=self_key_padding_mask,
-                encoder_padding_mask=encoder_padding_mask,
-                self_attn_bias=self_attn_bias,
-                causal=causal,
-                mode=mode,
-                cache_size=cache_size,
-                deterministic=deterministic,
             )
+
+            def run_layer(mdl, h, bias_i, enc):
+                return mdl(
+                    h,
+                    enc,
+                    self_key_padding_mask=self_key_padding_mask,
+                    encoder_padding_mask=encoder_padding_mask,
+                    self_attn_bias=bias_i,
+                    causal=causal,
+                    mode=mode,
+                    cache_size=cache_size,
+                    deterministic=deterministic,
+                )
+
+            if cfg.remat and mode == "train":
+                # fairseq --checkpoint-activations / torchscale
+                # checkpoint_wrapper (decoder.py:351): rematerialize the layer
+                # in backward. Decode mode mutates the cache collection, which
+                # remat cannot wrap — and keeps no activations anyway.
+                x = nn.remat(run_layer)(layer, x, self_attn_bias, encoder_out)
+            else:
+                x = run_layer(layer, x, self_attn_bias, encoder_out)
         if cfg.normalize_before:
             x = _ln(cfg, "layer_norm")(x)
         return x

@@ -117,7 +117,7 @@ def paged_attention(
         from unilm_tpu.ops.paged_attention import kernel_supported
 
         use_kernel = (jax.default_backend() == "tpu"
-                      and kernel_supported(k_pool.shape[2], k_pool.shape[3],
+                      and kernel_supported(q.shape[2], q.shape[3],
                                            k_pool.shape[1], k_pool.dtype)
                       and not os.environ.get("UNILM_TPU_DISABLE_PAGED_KERNEL"))
     if use_kernel:
@@ -127,9 +127,9 @@ def paged_attention(
             q, k_pool, v_pool, block_tables, lengths, scale=scale,
             interpret=False,
         )
-    B = q.shape[0]
-    P, page, H, D = k_pool.shape
-    k = k_pool[block_tables]  # [B, max_pages, page, H, D]
+    B, _, H, D = q.shape
+    P, page = k_pool.shape[0], k_pool.shape[1]
+    k = k_pool[block_tables]  # [B, max_pages, page, ...]
     v = v_pool[block_tables]
     S = k.shape[1] * page
     k = k.reshape(B, S, H, D)

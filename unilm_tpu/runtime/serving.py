@@ -8,11 +8,13 @@ serving story that ties our pieces together:
 - `PagedGPT`: a serving-mode twin of `models.kosmos.UniGPT`'s text path with
   an IDENTICAL param tree (embed_tokens / decoder / layers_i / self_attn /
   ffn ...), so any trained or converted UniGPT checkpoint serves unchanged.
-  Self-attention reads/writes a vLLM-style paged pool ([L, pages, page, H, D]
-  + per-slot block tables) instead of per-sequence contiguous caches:
-  prefill scatters prompt KV into pages (XLA gather attention, causal),
-  decode steps run the Pallas block-table-walking kernel
-  (ops/paged_attention.py, 2.8-3x vs XLA gather on-chip).
+  Self-attention reads/writes a vLLM-style paged pool (FLAT
+  [L*pages, page, H*D] + per-slot block tables) instead of per-sequence
+  contiguous caches: prefill scatters prompt KV into pages (XLA gather
+  attention, causal); decode steps run the contiguous-run slab-streaming
+  Pallas kernel (~HBM-roofline, ops/paged_attention._run_decode_kernel)
+  when the allocator placed the slot's pages contiguously, else the
+  block-table-walking kernel.
 - `ServingEngine`: host-side continuous batching (vLLM block-manager style):
   fixed decode slots, per-request page reservation at admission, greedy
   decode for the whole batch in ONE jitted step, finished sequences free
@@ -69,23 +71,32 @@ class PagedSelfAttention(nn.Module):
     """MultiheadAttention's serving twin: same projections/param names,
     KV lives in the shared page pool.
 
-    The pool is ONE flat array [L*P, page, H, D] shared by all layers;
+    The pool is ONE flat array [L*P, page, H*D] shared by all layers;
     `block_tables` arrives pre-offset by layer_idx*P (so every update is a
     chained in-place scatter on the same buffer — no per-layer unstack /
-    restack copies, which would move GBs per decode step)."""
+    restack copies, which would move GBs per decode step).
+
+    `use_kernel=False` forces the XLA scatter/gather formulation — required
+    under a multi-chip GSPMD mesh (the Pallas kernel is single-device; the
+    XLA path partitions cleanly with pools sharded over heads)."""
 
     cfg: TransformerConfig
+    use_kernel: bool = True
 
     @nn.compact
     def __call__(
         self,
         x: jax.Array,  # [B, T, E]
-        k_pool: jax.Array,  # [L*P, page, H, D] flat pool
+        k_pool: jax.Array,  # [L*P, page, H*D] flat pool (a [.., H, D] view
+        # lane-pads D to 128 on TPU; reshaping per layer would relayout-copy
+        # the whole pool — measured 4x the decode-attention kernel cost)
         v_pool: jax.Array,
         block_tables: jax.Array,  # [B, MP] int32, layer-offset applied
         lengths: jax.Array,  # [B] tokens already in cache
         n_valid: jax.Array,  # [B] valid (non-pad) tokens in x
         trash_page: int = 0,  # this layer's trash page id
+        bases: Optional[jax.Array] = None,  # [B] first page of each run
+        chunk_pages: int = 8,
     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         cfg = self.cfg
         H, D, E = cfg.num_heads, cfg.head_dim, cfg.embed_dim
@@ -122,17 +133,29 @@ class PagedSelfAttention(nn.Module):
         scale = cfg.attn_scale if cfg.attn_scale is not None else D**-0.5
         from unilm_tpu.ops.paged_attention import kernel_supported
 
-        if (T == 1 and jax.default_backend() == "tpu"
+        if (T == 1 and self.use_kernel and jax.default_backend() == "tpu"
                 and kernel_supported(H, D, page, k_pool.dtype)):
-            # fused append+attend kernel with input/output-aliased pools:
-            # the pool arrays flow through all layers with zero copies
-            # (XLA-level scatter or DUS formulations copy the pool per layer
-            # because the pallas read keeps the pre-update buffer alive).
-            from unilm_tpu.ops.paged_attention import paged_decode_append_attention
+            if bases is not None:
+                # contiguous-run path: in-place row scatter + pure-read
+                # slab-streaming kernel (~140us/layer ~= HBM roofline at
+                # B=8/ctx=2048 on v5e — see ops/paged_attention)
+                from unilm_tpu.ops.paged_attention import (
+                    run_decode_append_attention,
+                )
 
-            out, k_pool, v_pool = paged_decode_append_attention(
-                q, k, v, k_pool, v_pool, block_tables, lengths, scale=scale
-            )
+                out, k_pool, v_pool = run_decode_append_attention(
+                    q, k, v, k_pool, v_pool, bases, lengths,
+                    max_pages=block_tables.shape[1], scale=scale,
+                    chunk=chunk_pages,
+                )
+            else:
+                from unilm_tpu.ops.paged_attention import (
+                    paged_decode_append_attention,
+                )
+
+                out, k_pool, v_pool = paged_decode_append_attention(
+                    q, k, v, k_pool, v_pool, block_tables, lengths, scale=scale
+                )
             out = out.reshape(B, T, H * D)
             if cfg.subln:
                 out = make_norm(cfg, "inner_attn_ln")(out)
@@ -150,14 +173,17 @@ class PagedSelfAttention(nn.Module):
             valid, jnp.take_along_axis(block_tables, slot, axis=1), trash_page
         )
         offs = pos % page
-        k_pool = k_pool.at[page_ids, offs].set(k.astype(k_pool.dtype))
-        v_pool = v_pool.at[page_ids, offs].set(v.astype(v_pool.dtype))
+        k_pool = k_pool.at[page_ids, offs].set(
+            k.reshape(B, T, H * D).astype(k_pool.dtype))
+        v_pool = v_pool.at[page_ids, offs].set(
+            v.reshape(B, T, H * D).astype(v_pool.dtype))
 
         if T == 1:
             from unilm_tpu.runtime.paged_kv import paged_attention
 
             out = paged_attention(
-                q, k_pool, v_pool, block_tables, lengths + 1, scale=scale
+                q, k_pool, v_pool, block_tables, lengths + 1, scale=scale,
+                use_kernel=None if self.use_kernel else False,
             )
         else:
             # prefill: gather this batch's pages, causal + ragged mask
@@ -188,17 +214,23 @@ class PagedDecoderLayer(nn.Module):
     cfg: TransformerConfig
     layer_idx: int = 0
     pages_per_layer: int = 0  # logical pages P; this layer owns [i*P, (i+1)*P)
+    use_kernel: bool = True
+    chunk_pages: int = 8
 
     @nn.compact
-    def __call__(self, x, k_pool, v_pool, block_tables, lengths, n_valid):
+    def __call__(self, x, k_pool, v_pool, block_tables, lengths, n_valid,
+                 bases=None):
         cfg = self.cfg
         assert cfg.normalize_before, "serving path assumes pre-LN (Magneto/subln)"
         off = self.layer_idx * self.pages_per_layer
         residual = x
         h = make_norm(cfg, "self_attn_layer_norm")(x)
-        h, k_pool, v_pool = PagedSelfAttention(cfg, name="self_attn")(
+        h, k_pool, v_pool = PagedSelfAttention(
+            cfg, use_kernel=self.use_kernel, name="self_attn")(
             h, k_pool, v_pool, block_tables + off, lengths, n_valid,
             trash_page=off,
+            bases=None if bases is None else bases + off,
+            chunk_pages=self.chunk_pages,
         )
         x = residual + h
         residual = x
@@ -214,15 +246,19 @@ class PagedDecoderLayer(nn.Module):
 class PagedDecoderStack(nn.Module):
     cfg: TransformerConfig
     pages_per_layer: int = 0
+    use_kernel: bool = True
+    chunk_pages: int = 8
 
     @nn.compact
-    def __call__(self, x, k_pool, v_pool, block_tables, lengths, n_valid):
+    def __call__(self, x, k_pool, v_pool, block_tables, lengths, n_valid,
+                 bases=None):
         cfg = self.cfg
         for i in range(cfg.num_layers):
             x, k_pool, v_pool = PagedDecoderLayer(
                 cfg, layer_idx=i, pages_per_layer=self.pages_per_layer,
+                use_kernel=self.use_kernel, chunk_pages=self.chunk_pages,
                 name=f"layers_{i}",
-            )(x, k_pool, v_pool, block_tables, lengths, n_valid)
+            )(x, k_pool, v_pool, block_tables, lengths, n_valid, bases=bases)
         if cfg.normalize_before:
             x = make_norm(cfg, "layer_norm")(x)
         return x, k_pool, v_pool
@@ -232,6 +268,8 @@ class PagedGPT(nn.Module):
     """UniGPT's text path in serving mode; accepts UniGPT params verbatim."""
 
     cfg: UniGPTConfig
+    use_kernel: bool = True
+    chunk_pages: int = 8
 
     @nn.compact
     def __call__(
@@ -243,6 +281,7 @@ class PagedGPT(nn.Module):
         lengths: jax.Array,  # [B]
         n_valid: jax.Array,  # [B]
         last_logit_only: bool = False,
+        bases: Optional[jax.Array] = None,  # [B] contiguous-run first pages
     ):
         cfg = self.cfg
         tcfg = cfg.decoder_cfg()
@@ -272,12 +311,55 @@ class PagedGPT(nn.Module):
                 ))
                 x = x + jnp.take(table, positions, axis=0).astype(x.dtype)
         x, k_pools, v_pools = PagedDecoderStack(
-            tcfg, pages_per_layer=pages_per_layer, name="decoder"
-        )(x, k_pools, v_pools, block_tables, lengths, n_valid)
+            tcfg, pages_per_layer=pages_per_layer,
+            use_kernel=self.use_kernel, chunk_pages=self.chunk_pages,
+            name="decoder"
+        )(x, k_pools, v_pools, block_tables, lengths, n_valid, bases=bases)
         if last_logit_only:
             x = x[:, -1:]
         logits = embed.attend(x)
         return logits, k_pools, v_pools
+
+
+# --------------------------------------------------------------------------- #
+# Per-slot sampling (one traced program for any mix of greedy/topk/topp)
+# --------------------------------------------------------------------------- #
+
+
+def batched_sample(
+    logits: jax.Array,  # [B, V]
+    temperature: jax.Array,  # [B] float; <= 0 means greedy
+    top_k: jax.Array,  # [B] int; 0 disables the top-k cut
+    top_p: jax.Array,  # [B] float; 0 disables the nucleus cut
+    rng: jax.Array,
+    max_topk: int = 64,
+) -> jax.Array:
+    """Vectorized sampler over heterogeneous per-slot params (reference:
+    fairseq search.Sampling top-k/top-p, fairseq/search.py). All slots share
+    ONE traced program — params are data, not trace constants, so mixing
+    greedy and sampled requests in a batch never recompiles the step.
+
+    TPU-first deviation: candidates are truncated to the static top-`max_topk`
+    before the nucleus cut (a full-vocab sort per decode step would dominate
+    the DMA-bound decode). Nucleus mass beyond rank max_topk is dropped;
+    raise ServingConfig.max_topk if a request needs a wider tail."""
+    B, V = logits.shape
+    K = min(max_topk, V)
+    lf = logits.astype(jnp.float32)
+    lp = jax.nn.log_softmax(lf / jnp.maximum(temperature, 1e-6)[:, None])
+    vals, idx = jax.lax.top_k(lp, K)  # [B, K] sorted desc
+    ranks = jnp.arange(K)[None, :]
+    k_eff = jnp.where(top_k > 0, jnp.minimum(top_k, K), K)[:, None]
+    keep = ranks < k_eff
+    probs = jnp.exp(vals)
+    cum = jnp.cumsum(probs, axis=-1)
+    # keep tokens whose preceding cumulative mass is < top_p (always >= 1 kept)
+    keep &= jnp.where(top_p[:, None] > 0, (cum - probs) < top_p[:, None], True)
+    masked = jnp.where(keep, vals, -1e30)
+    choice = jax.random.categorical(rng, masked)  # [B]
+    sampled = jnp.take_along_axis(idx, choice[:, None], axis=1)[:, 0]
+    greedy = jnp.argmax(lf, axis=-1)
+    return jnp.where(temperature <= 0, greedy, sampled).astype(jnp.int32)
 
 
 # --------------------------------------------------------------------------- #
@@ -294,6 +376,20 @@ class ServingConfig:
     max_new_tokens: int = 64
     eos: int = 2
     prefill_bucket: int = 64  # prompt lengths padded up to a multiple of this
+    max_topk: int = 64  # static candidate window for sampled requests
+    seed: int = 0
+    chunk_pages: int = 8  # slab size for the contiguous-run decode kernel;
+    # the last chunk_pages-1 pages of each layer's region are kept free so
+    # slab overreads stay in-bounds (ops/paged_attention._run_append_kernel)
+
+
+@dataclasses.dataclass
+class SamplingParams:
+    """Per-request decode params. temperature <= 0 selects greedy argmax."""
+
+    temperature: float = 0.0
+    top_k: int = 0  # 0 = no top-k cut
+    top_p: float = 0.0  # 0 = no nucleus cut
 
 
 @dataclasses.dataclass
@@ -302,59 +398,136 @@ class _Slot:
     budget: int
     reserved: int  # pages reserved at admission
     generated: int = 0
+    base: int = -1  # first page of a contiguous run, or -1 if scattered
 
 
 class ServingEngine:
-    def __init__(self, cfg: UniGPTConfig, scfg: ServingConfig, params):
+    """Continuous-batching server. With `mesh` (a jax Mesh with a 'tensor'
+    axis), decode runs tensor-parallel across chips: q/k/v column-parallel
+    and out_proj/fc2 row-parallel (parallel/sharding.py rules, GSPMD inserts
+    the psums the reference's Megatron path did by hand,
+    fairseq/model_parallel/megatron_trainer.py:27), and the KV page pools
+    are sharded over the head dim so each chip holds 1/tp of the cache."""
+
+    def __init__(self, cfg: UniGPTConfig, scfg: ServingConfig, params,
+                 mesh=None):
         self.cfg, self.scfg = cfg, scfg
-        self.params = params
-        self.model = PagedGPT(cfg)
+        self.mesh = mesh
+        self.model = PagedGPT(cfg, use_kernel=mesh is None,
+                              chunk_pages=scfg.chunk_pages)
         L, H = cfg.num_layers, cfg.num_heads
         D = cfg.embed_dim // H
         self.k_pools = jnp.zeros(
-            (L * scfg.num_pages, scfg.page_size, H, D), cfg.dtype
+            (L * scfg.num_pages, scfg.page_size, H * D), cfg.dtype
         )
         self.v_pools = jnp.zeros_like(self.k_pools)
+        self._pool_sharding = self._rep = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from unilm_tpu.parallel.sharding import infer_param_shardings
+
+            tp = mesh.shape.get("tensor", 1)
+            assert H % tp == 0, f"heads {H} not divisible by tensor axis {tp}"
+            self._pool_sharding = NamedSharding(mesh, P(None, None, "tensor"))
+            self._rep = NamedSharding(mesh, P())
+            params = jax.device_put(params, infer_param_shardings(params, mesh))
+            self.k_pools = jax.device_put(self.k_pools, self._pool_sharding)
+            self.v_pools = jax.device_put(self.v_pools, self._pool_sharding)
+        self.params = params
         self.tables = np.zeros((scfg.max_batch, scfg.max_pages_per_seq), np.int32)
         self.lengths = np.zeros(scfg.max_batch, np.int32)
         self.cur_tok = np.zeros(scfg.max_batch, np.int32)
         self.active = np.zeros(scfg.max_batch, bool)
-        self.free_pages: List[int] = list(range(scfg.num_pages - 1, 0, -1))
+        self.temps = np.zeros(scfg.max_batch, np.float32)
+        self.topks = np.zeros(scfg.max_batch, np.int32)
+        self.topps = np.zeros(scfg.max_batch, np.float32)
+        self.bases = np.zeros(scfg.max_batch, np.int32)
+        # pages [1, num_pages - chunk_pages + 1): the tail stays free so the
+        # run kernel's slab overread never leaves this layer's pool region
+        self.free_pages: List[int] = list(
+            range(1, max(2, scfg.num_pages - scfg.chunk_pages + 1)))
         self.slots: List[Optional[_Slot]] = [None] * scfg.max_batch
         self.queue: deque = deque()
         self.outputs: Dict[Any, List[int]] = {}
-        self._decode_jit = jax.jit(self._decode_fn, donate_argnums=(0, 1))
+        self._rng = jax.random.PRNGKey(scfg.seed)
+        self._step_count = 0
+        self._decode_jit = self._jit(self._decode_fn, 9)
+        self._decode_contig_jit = None  # built lazily (TPU-only path)
         self._prefill_jits: Dict[int, Any] = {}
 
+    def _jit(self, fn, n_args):
+        if self.mesh is None:
+            return jax.jit(fn, donate_argnums=(0, 1))
+        sh = [self._pool_sharding] * 2 + [self._rep] * (n_args - 2)
+        return jax.jit(
+            fn, donate_argnums=(0, 1), in_shardings=sh,
+            out_shardings=(self._rep, self._pool_sharding, self._pool_sharding),
+        )
+
+    def _next_rng(self):
+        # fold the step counter instead of split(): no device round-trip and
+        # bit-reproducible streams for a fixed (seed, admission order, steps)
+        self._step_count += 1
+        return jax.random.fold_in(self._rng, self._step_count)
+
     # ---- device fns ------------------------------------------------------ #
-    def _decode_fn(self, k_pools, v_pools, tokens, tables, lengths):
+    def _decode_fn(self, k_pools, v_pools, tokens, tables, lengths,
+                   temps, topks, topps, rng, bases=None):
         n_valid = jnp.ones_like(lengths)
         logits, k_pools, v_pools = self.model.apply(
             {"params": self.params}, tokens, k_pools, v_pools, tables,
-            lengths, n_valid,
+            lengths, n_valid, bases=bases,
         )
-        nxt = jnp.argmax(logits[:, -1].astype(jnp.float32), axis=-1)
-        return nxt.astype(jnp.int32), k_pools, v_pools
+        nxt = batched_sample(logits[:, -1], temps, topks, topps, rng,
+                             max_topk=self.scfg.max_topk)
+        return nxt, k_pools, v_pools
 
-    def _prefill_fn(self, k_pools, v_pools, tokens, table, n_valid):
+    def _prefill_fn(self, k_pools, v_pools, tokens, table, n_valid,
+                    temps, topks, topps, rng):
         logits, k_pools, v_pools = self.model.apply(
             {"params": self.params}, tokens, k_pools, v_pools, table,
             jnp.zeros((1,), jnp.int32), n_valid,
         )
-        # first generated token = argmax at the last valid prompt position
+        # first generated token = sampled at the last valid prompt position
         last = jnp.take_along_axis(
             logits.astype(jnp.float32), (n_valid - 1)[:, None, None], axis=1
         )[:, 0]
-        return jnp.argmax(last, axis=-1).astype(jnp.int32), k_pools, v_pools
+        nxt = batched_sample(last, temps, topks, topps, rng,
+                             max_topk=self.scfg.max_topk)
+        return nxt, k_pools, v_pools
 
     # ---- scheduler ------------------------------------------------------- #
-    def submit(self, req_id, prompt: List[int], max_new_tokens: Optional[int] = None):
+    def submit(self, req_id, prompt: List[int], max_new_tokens: Optional[int] = None,
+               sampling: Optional[SamplingParams] = None):
         self.queue.append((req_id, list(prompt), max_new_tokens
-                           or self.scfg.max_new_tokens))
+                           or self.scfg.max_new_tokens,
+                           sampling or SamplingParams()))
         self.outputs[req_id] = []
 
     def _pages_needed(self, total_len: int) -> int:
         return -(-total_len // self.scfg.page_size)
+
+    def _alloc(self, need: int) -> Tuple[List[int], int]:
+        """Allocate `need` pages, contiguous-first (vLLM reserves page-by-
+        page; we reserve the whole budget at admission, so a contiguous run
+        is free to prefer — it enables slab streaming in the decode kernel).
+        Runs start at chunk_pages-aligned ids (the kernel's slab index maps
+        address the pool in chunk units). Returns (pages, base); base=-1
+        when only a scattered set fit (block-table kernel fallback)."""
+        free = sorted(self.free_pages)
+        chunk = self.scfg.chunk_pages
+        fs = set(free)
+        for start in free:
+            if start % chunk:
+                continue
+            if all((start + j) in fs for j in range(need)):
+                run = list(range(start, start + need))
+                self.free_pages = [p for p in free if p not in set(run)]
+                return run, start
+        run = free[:need]
+        self.free_pages = free[need:]
+        return run, -1
 
     def _try_admit(self) -> bool:
         if not self.queue:
@@ -362,33 +535,39 @@ class ServingEngine:
         free_slots = [i for i in range(self.scfg.max_batch) if not self.active[i]]
         if not free_slots:
             return False
-        req_id, prompt, budget = self.queue[0]
+        req_id, prompt, budget, sp = self.queue[0]
         need = self._pages_needed(len(prompt) + budget)
         if need > self.scfg.max_pages_per_seq or need > len(self.free_pages):
             return False  # backpressure
         self.queue.popleft()
         slot = free_slots[0]
-        pages = [self.free_pages.pop() for _ in range(need)]
+        pages, base = self._alloc(need)
         row = np.zeros(self.scfg.max_pages_per_seq, np.int32)
         row[: len(pages)] = pages
         self.tables[slot] = row
+        self.bases[slot] = max(base, 0)
 
         bucket = -(-len(prompt) // self.scfg.prefill_bucket) * self.scfg.prefill_bucket
         if bucket not in self._prefill_jits:
-            self._prefill_jits[bucket] = jax.jit(
-                self._prefill_fn, donate_argnums=(0, 1)
-            )
+            self._prefill_jits[bucket] = self._jit(self._prefill_fn, 9)
         padded = np.full((1, bucket), self.cfg.padding_idx, np.int32)
         padded[0, : len(prompt)] = prompt
         first, self.k_pools, self.v_pools = self._prefill_jits[bucket](
             self.k_pools, self.v_pools, jnp.asarray(padded),
             jnp.asarray(row[None]), jnp.asarray([len(prompt)], jnp.int32),
+            jnp.asarray([sp.temperature], jnp.float32),
+            jnp.asarray([sp.top_k], jnp.int32),
+            jnp.asarray([sp.top_p], jnp.float32),
+            self._next_rng(),
         )
         first = int(first[0])
         self.lengths[slot] = len(prompt)
         self.cur_tok[slot] = first
         self.active[slot] = True
-        self.slots[slot] = _Slot(req_id, budget, reserved=need)
+        self.temps[slot] = sp.temperature
+        self.topks[slot] = sp.top_k
+        self.topps[slot] = sp.top_p
+        self.slots[slot] = _Slot(req_id, budget, reserved=need, base=base)
         self._record(slot, first)
         return True
 
@@ -402,15 +581,40 @@ class ServingEngine:
             self.tables[slot] = 0
             self.lengths[slot] = 0
             self.active[slot] = False
+            self.temps[slot] = 0.0
+            self.topks[slot] = 0
+            self.topps[slot] = 0.0
+            self.bases[slot] = 0
             self.slots[slot] = None
 
     def step(self):
-        """One decode step for every active slot (single jitted call)."""
-        nxt, self.k_pools, self.v_pools = self._decode_jit(
+        """One decode step for every active slot (single jitted call).
+        When every active slot holds a contiguous page run (the common case
+        under the contiguous-first allocator), dispatch the slab-DMA decode
+        program; otherwise the block-table walk."""
+        contig = (
+            self.mesh is None
+            and jax.default_backend() == "tpu"
+            and all(self.slots[i].base >= 0
+                    for i in range(self.scfg.max_batch) if self.active[i])
+        )
+        args = (
             self.k_pools, self.v_pools,
             jnp.asarray(self.cur_tok[:, None]), jnp.asarray(self.tables),
             jnp.asarray(self.lengths),
+            jnp.asarray(self.temps), jnp.asarray(self.topks),
+            jnp.asarray(self.topps), self._next_rng(),
         )
+        if contig:
+            if self._decode_contig_jit is None:
+                self._decode_contig_jit = jax.jit(
+                    lambda *a: self._decode_fn(*a[:9], bases=a[9]),
+                    donate_argnums=(0, 1),
+                )
+            nxt, self.k_pools, self.v_pools = self._decode_contig_jit(
+                *args, jnp.asarray(self.bases))
+        else:
+            nxt, self.k_pools, self.v_pools = self._decode_jit(*args)
         nxt = np.asarray(nxt)
         for i in range(self.scfg.max_batch):
             if self.active[i]:
