@@ -191,6 +191,39 @@ def main():
     check("run append k-pool", kr.reshape(-1, 16, D), jnp.asarray(fk), 1e-6)
     check("run append v-pool", vr.reshape(-1, 16, D), jnp.asarray(fvv), 1e-6)
 
+    # ---- int8-quantized contiguous-run kernel ------------------------------
+    from unilm_tpu.ops.paged_attention import quantize_kv_rows
+
+    HD16 = 16 * D
+    S_sl = chunk * page
+    rowsK = kp_.reshape(P * page, HD16)
+    rowsV = vp_.reshape(P * page, HD16)
+    ki8, vi8, ks8, vs8 = quantize_kv_rows(rowsK, rowsV)
+    nslab = P // chunk
+    sp8 = jnp.zeros((nslab, 8, S_sl), jnp.float32)
+    idx = jnp.arange(P * page)
+    sp8 = sp8.at[idx // S_sl, 0, idx % S_sl].set(ks8)
+    sp8 = sp8.at[idx // S_sl, 1, idx % S_sl].set(vs8)
+    got_q, kq, vq, sq = jax.jit(
+        functools.partial(run_decode_append_attention, chunk=chunk))(
+        qd, kn, vn, ki8.reshape(P, page, HD16), vi8.reshape(P, page, HD16),
+        jnp.asarray(bases_np), lengths, scale_pool=sp8)
+    # reference: dequantized history + exact new token (want_r used exact
+    # history, so compare against a dequantized recompute instead)
+    fkq = (np.float32(ki8) * np.asarray(ks8)[:, None]).reshape(-1, 16, D)
+    fvq = (np.float32(vi8) * np.asarray(vs8)[:, None]).reshape(-1, 16, D)
+    want_q = []
+    for b in range(B):
+        L = int(lengths[b])
+        rows = bases_np[b] * page + np.arange(L)
+        ks_a = np.concatenate([fkq[rows], np.float32(np.array(kn))[b]], axis=0)
+        vs_a = np.concatenate([fvq[rows], np.float32(np.array(vn))[b]], axis=0)
+        sgt = np.einsum("hd,thd->ht", np.float32(np.array(qd)[b, 0]), ks_a) * (D ** -0.5)
+        pgt = np.exp(sgt - sgt.max(1, keepdims=True)); pgt /= pgt.sum(1, keepdims=True)
+        want_q.append(np.einsum("ht,thd->hd", pgt, vs_a))
+    want_q = jnp.asarray(np.stack(want_q))[:, None]
+    check("run int8 out", got_q, want_q, 5e-3)
+
     # ---- fused rotary / swiglu ---------------------------------------------
     try:
         from unilm_tpu.ops import fused

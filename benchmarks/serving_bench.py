@@ -45,6 +45,7 @@ def main():
     p.add_argument("--page_size", type=int, default=64)
     p.add_argument("--skip_full", action="store_true", help="skip the full-cache baseline")
     p.add_argument("--paths", default="table,run", help="comma list: table,run")
+    p.add_argument("--kv", default="model", help="model | int8 (run path only)")
     args = p.parse_args()
 
     from unilm_tpu.models.kosmos import UniGPT, kosmos2_5, make_unigpt_generate_fns
@@ -110,28 +111,42 @@ def main():
         scfg = ServingConfig(page_size=args.page_size, num_pages=num_pages,
                              max_pages_per_seq=mp, chunk_pages=chunk)
         L = cfg.num_layers
-        k_pools = jnp.zeros((L * num_pages, args.page_size, H * D), cfg.dtype)
+        kv_dt = jnp.int8 if args.kv == "int8" else cfg.dtype
+        k_pools = jnp.zeros((L * num_pages, args.page_size, H * D), kv_dt)
         v_pools = jnp.zeros_like(k_pools)
+        scale_pool = None
+        if args.kv == "int8":
+            nslab = L * num_pages // chunk
+            scale_pool = jnp.full(
+                (nslab, 8, chunk * args.page_size), 0.01, jnp.float32)
         bases_np = chunk + stride * np.arange(B, dtype=np.int32)
         tables = jnp.asarray(bases_np[:, None] + np.arange(mp, dtype=np.int32))
         bases = jnp.asarray(bases_np)
         lengths = jnp.full((B,), args.ctx, jnp.int32)
 
         def make_loop(use_bases):
+            quant = scale_pool is not None and use_bases
             def loop_paged(params, k_pools, v_pools, tok, lengths):
                 def body(i, carry):
-                    tok, k_pools, v_pools, lengths, acc = carry
-                    logits, k_pools, v_pools = paged.apply(
+                    tok, k_pools, v_pools, sp, lengths, acc = carry
+                    res = paged.apply(
                         {"params": params}, tok, k_pools, v_pools, tables,
                         lengths, jnp.ones_like(lengths),
-                        bases=bases if use_bases else None)
+                        bases=bases if use_bases else None,
+                        scale_pool=sp if quant else None)
+                    if quant:
+                        logits, k_pools, v_pools, sp = res
+                    else:
+                        logits, k_pools, v_pools = res
                     nxt = jnp.argmax(
                         logits[:, -1].astype(jnp.float32), -1)[:, None].astype(jnp.int32)
-                    return (nxt, k_pools, v_pools, lengths + 1,
+                    return (nxt, k_pools, v_pools, sp, lengths + 1,
                             acc + logits.astype(jnp.float32).sum())
-                _, _, _, _, acc = jax.lax.fori_loop(
+                _, _, _, _, _, acc = jax.lax.fori_loop(
                     0, args.steps, body,
-                    (tok, k_pools, v_pools, lengths, 0.0))
+                    (tok, k_pools, v_pools,
+                     scale_pool if quant else jnp.zeros((), jnp.float32),
+                     lengths, 0.0))
                 return acc
             return jax.jit(loop_paged)  # no donation: timeit reuses the pools
 

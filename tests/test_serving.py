@@ -184,3 +184,37 @@ def test_paged_gpt_accepts_unigpt_params():
     u_paths = {jax.tree_util.keystr(p) for p, _ in jax.tree_util.tree_leaves_with_path(u_params)}
     p_paths = {jax.tree_util.keystr(p) for p, _ in jax.tree_util.tree_leaves_with_path(p_params)}
     assert p_paths == u_paths
+
+
+def test_int8_kv_engine_matches_greedy():
+    """int8 KV (per-token scales) decodes the same greedy stream as bf16 on
+    a tiny model (quantization error ~1e-2 logit scale; deterministic)."""
+    cfg = tiny_cfg()
+    params = init_params(cfg)
+    scfg = ServingConfig(max_batch=2, page_size=8, num_pages=32,
+                         max_pages_per_seq=8, max_new_tokens=6, eos=63,
+                         prefill_bucket=8, chunk_pages=2, kv_dtype="int8")
+    eng = ServingEngine(cfg, scfg, params)
+    assert eng.pools[0].dtype == jnp.int8 and len(eng.pools) == 3
+    prompts = {"a": [5, 9, 11], "b": [7, 3, 3, 8, 12, 4, 30]}
+    for rid, p in prompts.items():
+        eng.submit(rid, p)
+    out = eng.run()
+    for rid, p in prompts.items():
+        ref = reference_greedy(cfg, params, p, 6, 63)
+        np.testing.assert_array_equal(np.asarray(out[rid]),
+                                      ref[: len(out[rid])], err_msg=rid)
+
+
+def test_quantize_kv_rows_roundtrip():
+    from unilm_tpu.ops.paged_attention import quantize_kv_rows
+
+    rng = np.random.RandomState(0)
+    k = jnp.asarray(rng.randn(4, 64).astype(np.float32) * 3)
+    v = jnp.asarray(rng.randn(4, 64).astype(np.float32) * 0.1)
+    ki, vi, ks, vs = quantize_kv_rows(k, v)
+    assert ki.dtype == jnp.int8
+    k2 = np.float32(ki) * np.asarray(ks)[:, None]
+    v2 = np.float32(vi) * np.asarray(vs)[:, None]
+    assert np.abs(k2 - np.asarray(k)).max() < np.abs(np.asarray(k)).max() / 100
+    assert np.abs(v2 - np.asarray(v)).max() < np.abs(np.asarray(v)).max() / 100

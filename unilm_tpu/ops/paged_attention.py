@@ -502,19 +502,16 @@ def _run_decode_kernel(
     q_ref,  # [1, H, D] (pre-scaled)
     knew_ref,  # [1, H, D] — this step's K row (softmax-merged, not yet pooled)
     vnew_ref,  # [1, H, D]
-    k_ref,  # [chunk, page, H*D] — the (b, c) slab, auto-pipelined
-    v_ref,
-    # outputs
-    o_ref,  # [1, H, D]
-    # scratch (persists across the whole grid)
-    acc_ref,  # [H, D] f32
-    m_ref,  # [H, 128] f32
-    l_ref,
-    *,
+    # when quantized: scale_ref [1, 8, S] f32 (row 0 = K scales, row 1 = V)
+    # k_ref [chunk, page, H*D] int8|bf16, v_ref — the (b, c) slab
+    # outputs: o_ref [1, H, D]
+    # scratch: acc [H, D] f32, m/l [H, 128] f32 (persist across the grid)
+    *refs,
     page: int,
     chunk: int,
     num_heads: int,
     head_dim: int,
+    quantized: bool,
 ):
     """Serving decode attention over CONTIGUOUS chunk-aligned page runs,
     with slab movement delegated to Pallas' grid pipeline: the (b, c) grid
@@ -535,7 +532,17 @@ def _run_decode_kernel(
 
     Ragged batches: slabs beyond a sequence's last chunk re-fetch its final
     slab (index maps clamp), and the token mask discards them; pool values
-    are finite so masked V garbage contributes exact zeros."""
+    are finite so masked V garbage contributes exact zeros.
+
+    With `quantized`, pool slabs are int8 with per-token symmetric scales in
+    a slab-aligned sidecar ([P//chunk, 8, S] f32, rows 0/1 = K/V): dequant
+    is one VPU cast plus two row-broadcast multiplies — the slab fetch
+    halves, which is the decode roofline."""
+    if quantized:
+        scale_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref = refs
+    else:
+        k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref = refs
+        scale_ref = None
     c = pl.program_id(1)
     nc = pl.num_programs(1)
     b = pl.program_id(0)
@@ -560,10 +567,15 @@ def _run_decode_kernel(
 
     kf = k_ref[...].reshape(S, H * D)
     vf = v_ref[...].reshape(S, H * D)
+    if quantized:
+        kf = kf.astype(q.dtype)
+        vf = vf.astype(q.dtype)
 
     s = jax.lax.dot_general(
         qbd, kf, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [H, S]
+    if quantized:
+        s = s * scale_ref[0, 0:1, :]  # per-token K scales, [1, S] broadcast
     tok = cc * S + jax.lax.broadcasted_iota(jnp.int32, (H, S), 1)
     keep = (tok < L) & (cc == c)  # clamped re-fetches contribute nothing
     s = jnp.where(keep, s, NEG_INF)
@@ -575,6 +587,8 @@ def _run_decode_kernel(
     l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(p_, axis=1, keepdims=True)
     m_ref[:, :1] = m_new
 
+    if quantized:
+        p_ = p_ * scale_ref[0, 1:2, :]  # fold per-token V scales into p
     pv = jax.lax.dot_general(
         p_.astype(vf.dtype), vf, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -607,6 +621,19 @@ def _run_decode_kernel(
         o_ref[0] = (acc2 / jnp.where(l2 > 0.0, l2, 1.0)).astype(o_ref.dtype)
 
 
+def quantize_kv_rows(k_rows: jax.Array, v_rows: jax.Array):
+    """Per-token symmetric int8 quantization of [B, H*D] K/V rows.
+    Returns (k_i8, v_i8, kscale, vscale) with row = round(x / scale)."""
+    def one(x):
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+        sc = jnp.maximum(amax, 1e-6) / 127.0
+        xi = jnp.clip(jnp.round(x.astype(jnp.float32) / sc), -127, 127)
+        return xi.astype(jnp.int8), sc[:, 0]
+    ki, ks = one(k_rows)
+    vi, vs = one(v_rows)
+    return ki, vi, ks, vs
+
+
 def run_decode_append_attention(
     q: jax.Array,  # [B, 1, H, D] (unscaled)
     k_new: jax.Array,  # [B, 1, H, D]
@@ -618,6 +645,7 @@ def run_decode_append_attention(
     max_pages: Optional[int] = None,  # per-seq page budget (grid bound)
     scale: Optional[float] = None,
     chunk: int = 8,
+    scale_pool: Optional[jax.Array] = None,  # [P//chunk, 8, chunk*page] f32
 ):
     """Fused serving decode step over contiguous chunk-aligned page runs:
     attend over lengths+1 tokens (the +1 merged in-kernel) and append the
@@ -629,7 +657,13 @@ def run_decode_append_attention(
     Pools are FLAT [P, page, H*D]: a [P, page, H, D] view lane-pads D to
     128 on TPU, so reshaping per layer relayouts (copies) the whole pool —
     measured 4x the entire kernel cost at D=96.
-    Returns (out [B, 1, H, D], k_pool, v_pool)."""
+
+    With `scale_pool` the pools hold int8 rows quantized per token
+    (quantize_kv_rows); the sidecar stores K scales in row 0 and V scales
+    in row 1 of each slab's [8, chunk*page] block. P must then be a
+    multiple of `chunk` so slabs never straddle layer regions.
+    Returns (out, k_pool, v_pool, scale_pool) when quantized, else
+    (out [B, 1, H, D], k_pool, v_pool)."""
     B, one, H, D = q.shape
     P, page, _ = k_pool.shape
     HD = H * D
@@ -651,11 +685,22 @@ def run_decode_append_attention(
     offs = lengths % page
     kn_flat = k_new.reshape(B, HD)
     vn_flat = v_new.reshape(B, HD)
-    k_pool = k_pool.at[pids, offs].set(kn_flat.astype(k_pool.dtype))
-    v_pool = v_pool.at[pids, offs].set(vn_flat.astype(v_pool.dtype))
+    quantized = scale_pool is not None
+    if quantized:
+        ki, vi, ks, vs = quantize_kv_rows(kn_flat, vn_flat)
+        k_pool = k_pool.at[pids, offs].set(ki)
+        v_pool = v_pool.at[pids, offs].set(vi)
+        slab_ids = pids // chunk
+        pos = (pids % chunk) * page + offs
+        scale_pool = scale_pool.at[slab_ids, 0, pos].set(ks)
+        scale_pool = scale_pool.at[slab_ids, 1, pos].set(vs)
+    else:
+        k_pool = k_pool.at[pids, offs].set(kn_flat.astype(k_pool.dtype))
+        v_pool = v_pool.at[pids, offs].set(vn_flat.astype(v_pool.dtype))
 
     kernel = functools.partial(
         _run_decode_kernel, page=page, chunk=chunk, num_heads=H, head_dim=D,
+        quantized=quantized,
     )
     kp = k_pool
     vp = v_pool
@@ -666,18 +711,33 @@ def run_decode_append_attention(
         cc = jnp.minimum(c, nchunks - 1)
         return (bases_ref[b] // chunk + cc, 0, 0)
 
+    def slab_sc(b, c, bases_ref, lengths_ref):
+        S = chunk * page
+        nchunks = jnp.maximum((lengths_ref[b] + S - 1) // S, 1)
+        cc = jnp.minimum(c, nchunks - 1)
+        return (bases_ref[b] // chunk + cc, 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, H, D), lambda b, c, *_: (b, 0, 0)),
+        pl.BlockSpec((1, H, D), lambda b, c, *_: (b, 0, 0)),
+        pl.BlockSpec((1, H, D), lambda b, c, *_: (b, 0, 0)),
+    ]
+    operands = [bases, lengths, (q[:, 0] * scale), k_new[:, 0], v_new[:, 0]]
+    if quantized:
+        in_specs.append(pl.BlockSpec((1, 8, chunk * page), slab_sc))
+        operands.append(scale_pool)
+    in_specs += [
+        pl.BlockSpec((chunk, page, HD), slab),
+        pl.BlockSpec((chunk, page, HD), slab),
+    ]
+    operands += [kp, vp]
+
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(B, C),
-            in_specs=[
-                pl.BlockSpec((1, H, D), lambda b, c, *_: (b, 0, 0)),
-                pl.BlockSpec((1, H, D), lambda b, c, *_: (b, 0, 0)),
-                pl.BlockSpec((1, H, D), lambda b, c, *_: (b, 0, 0)),
-                pl.BlockSpec((chunk, page, HD), slab),
-                pl.BlockSpec((chunk, page, HD), slab),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, H, D), lambda b, c, *_: (b, 0, 0)),
             scratch_shapes=[
                 pltpu.VMEM((H, D), jnp.float32),
@@ -686,13 +746,7 @@ def run_decode_append_attention(
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, D), q.dtype),
-    )(
-        bases,
-        lengths,
-        (q[:, 0] * scale),
-        k_new[:, 0],
-        v_new[:, 0],
-        kp,
-        vp,
-    )
+    )(*operands)
+    if quantized:
+        return out[:, None], k_pool, v_pool, scale_pool
     return out[:, None], k_pool, v_pool

@@ -97,11 +97,13 @@ class PagedSelfAttention(nn.Module):
         trash_page: int = 0,  # this layer's trash page id
         bases: Optional[jax.Array] = None,  # [B] first page of each run
         chunk_pages: int = 8,
-    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        scale_pool: Optional[jax.Array] = None,  # int8 KV: [slabs, 8, S] f32
+    ):
         cfg = self.cfg
         H, D, E = cfg.num_heads, cfg.head_dim, cfg.embed_dim
         B, T = x.shape[0], x.shape[1]
         page = k_pool.shape[1]
+        quantized = scale_pool is not None
 
         qk_init = scaled_init(nn.initializers.xavier_uniform(), 2**-0.5)
         vo_scale = (1.0 / cfg.deepnorm_init_div) * cfg.subln_init_mul
@@ -134,7 +136,8 @@ class PagedSelfAttention(nn.Module):
         from unilm_tpu.ops.paged_attention import kernel_supported
 
         if (T == 1 and self.use_kernel and jax.default_backend() == "tpu"
-                and kernel_supported(H, D, page, k_pool.dtype)):
+                and kernel_supported(H, D, page, k_pool.dtype)
+                and (bases is not None or not quantized)):
             if bases is not None:
                 # contiguous-run path: in-place row scatter + pure-read
                 # slab-streaming kernel (~140us/layer ~= HBM roofline at
@@ -143,11 +146,19 @@ class PagedSelfAttention(nn.Module):
                     run_decode_append_attention,
                 )
 
-                out, k_pool, v_pool = run_decode_append_attention(
-                    q, k, v, k_pool, v_pool, bases, lengths,
-                    max_pages=block_tables.shape[1], scale=scale,
-                    chunk=chunk_pages,
-                )
+                if quantized:
+                    out, k_pool, v_pool, scale_pool = (
+                        run_decode_append_attention(
+                            q, k, v, k_pool, v_pool, bases, lengths,
+                            max_pages=block_tables.shape[1], scale=scale,
+                            chunk=chunk_pages, scale_pool=scale_pool,
+                        ))
+                else:
+                    out, k_pool, v_pool = run_decode_append_attention(
+                        q, k, v, k_pool, v_pool, bases, lengths,
+                        max_pages=block_tables.shape[1], scale=scale,
+                        chunk=chunk_pages,
+                    )
             else:
                 from unilm_tpu.ops.paged_attention import (
                     paged_decode_append_attention,
@@ -163,7 +174,7 @@ class PagedSelfAttention(nn.Module):
                 E, kernel_init=o_init, use_bias=cfg.use_bias, dtype=cfg.dtype,
                 param_dtype=cfg.param_dtype, name="out_proj",
             )(out)
-            return out, k_pool, v_pool
+            return out, k_pool, v_pool, scale_pool
 
         # ---- scatter new KV into pages (invalid positions -> trash page)
         valid = jnp.arange(T)[None, :] < n_valid[:, None]  # [B, T]
@@ -173,22 +184,47 @@ class PagedSelfAttention(nn.Module):
             valid, jnp.take_along_axis(block_tables, slot, axis=1), trash_page
         )
         offs = pos % page
-        k_pool = k_pool.at[page_ids, offs].set(
-            k.reshape(B, T, H * D).astype(k_pool.dtype))
-        v_pool = v_pool.at[page_ids, offs].set(
-            v.reshape(B, T, H * D).astype(v_pool.dtype))
+        if quantized:
+            from unilm_tpu.ops.paged_attention import quantize_kv_rows
+
+            ki, vi, ks, vs = quantize_kv_rows(
+                k.reshape(B * T, H * D), v.reshape(B * T, H * D))
+            k_pool = k_pool.at[page_ids, offs].set(ki.reshape(B, T, H * D))
+            v_pool = v_pool.at[page_ids, offs].set(vi.reshape(B, T, H * D))
+            chunk = chunk_pages
+            S_slab = chunk * page
+            slab_ids = page_ids // chunk
+            slab_pos = (page_ids % chunk) * page + offs
+            scale_pool = scale_pool.at[slab_ids, 0, slab_pos].set(
+                ks.reshape(B, T))
+            scale_pool = scale_pool.at[slab_ids, 1, slab_pos].set(
+                vs.reshape(B, T))
+            # dequantize for the XLA attention below (fallback path only:
+            # tiny on CPU tests; the TPU hot path uses the int8 kernel)
+            nslab = scale_pool.shape[0]
+            ksc = scale_pool[:, 0].reshape(nslab * chunk, page)[:, :, None]
+            vsc = scale_pool[:, 1].reshape(nslab * chunk, page)[:, :, None]
+            k_read = (k_pool.astype(cfg.dtype) * ksc.astype(cfg.dtype))
+            v_read = (v_pool.astype(cfg.dtype) * vsc.astype(cfg.dtype))
+        else:
+            k_pool = k_pool.at[page_ids, offs].set(
+                k.reshape(B, T, H * D).astype(k_pool.dtype))
+            v_pool = v_pool.at[page_ids, offs].set(
+                v.reshape(B, T, H * D).astype(v_pool.dtype))
+            k_read, v_read = k_pool, v_pool
 
         if T == 1:
             from unilm_tpu.runtime.paged_kv import paged_attention
 
             out = paged_attention(
-                q, k_pool, v_pool, block_tables, lengths + 1, scale=scale,
-                use_kernel=None if self.use_kernel else False,
+                q, k_read, v_read, block_tables, lengths + 1, scale=scale,
+                use_kernel=(None if self.use_kernel and not quantized
+                            else False),
             )
         else:
             # prefill: gather this batch's pages, causal + ragged mask
-            kk = k_pool[block_tables].reshape(B, -1, H, D)  # [B, S, H, D]
-            vv = v_pool[block_tables].reshape(B, -1, H, D)
+            kk = k_read[block_tables].reshape(B, -1, H, D)  # [B, S, H, D]
+            vv = v_read[block_tables].reshape(B, -1, H, D)
             S = kk.shape[1]
             j = jnp.arange(S)[None, None, :]  # logical key positions
             causal_ok = j <= pos[:, :, None]  # [B, T, S]
@@ -207,7 +243,7 @@ class PagedSelfAttention(nn.Module):
             E, kernel_init=o_init, use_bias=cfg.use_bias, dtype=cfg.dtype,
             param_dtype=cfg.param_dtype, name="out_proj",
         )(out)
-        return out, k_pool, v_pool
+        return out, k_pool, v_pool, scale_pool
 
 
 class PagedDecoderLayer(nn.Module):
@@ -219,18 +255,19 @@ class PagedDecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, k_pool, v_pool, block_tables, lengths, n_valid,
-                 bases=None):
+                 bases=None, scale_pool=None):
         cfg = self.cfg
         assert cfg.normalize_before, "serving path assumes pre-LN (Magneto/subln)"
         off = self.layer_idx * self.pages_per_layer
         residual = x
         h = make_norm(cfg, "self_attn_layer_norm")(x)
-        h, k_pool, v_pool = PagedSelfAttention(
+        h, k_pool, v_pool, scale_pool = PagedSelfAttention(
             cfg, use_kernel=self.use_kernel, name="self_attn")(
             h, k_pool, v_pool, block_tables + off, lengths, n_valid,
             trash_page=off,
             bases=None if bases is None else bases + off,
             chunk_pages=self.chunk_pages,
+            scale_pool=scale_pool,
         )
         x = residual + h
         residual = x
@@ -240,7 +277,7 @@ class PagedDecoderLayer(nn.Module):
         ffn, is_moe = _build_ffn(cfg, self.layer_idx)
         assert not is_moe, "MoE serving not supported yet"
         x = residual + ffn(h, deterministic=True)
-        return x, k_pool, v_pool
+        return x, k_pool, v_pool, scale_pool
 
 
 class PagedDecoderStack(nn.Module):
@@ -251,17 +288,18 @@ class PagedDecoderStack(nn.Module):
 
     @nn.compact
     def __call__(self, x, k_pool, v_pool, block_tables, lengths, n_valid,
-                 bases=None):
+                 bases=None, scale_pool=None):
         cfg = self.cfg
         for i in range(cfg.num_layers):
-            x, k_pool, v_pool = PagedDecoderLayer(
+            x, k_pool, v_pool, scale_pool = PagedDecoderLayer(
                 cfg, layer_idx=i, pages_per_layer=self.pages_per_layer,
                 use_kernel=self.use_kernel, chunk_pages=self.chunk_pages,
                 name=f"layers_{i}",
-            )(x, k_pool, v_pool, block_tables, lengths, n_valid, bases=bases)
+            )(x, k_pool, v_pool, block_tables, lengths, n_valid, bases=bases,
+              scale_pool=scale_pool)
         if cfg.normalize_before:
             x = make_norm(cfg, "layer_norm")(x)
-        return x, k_pool, v_pool
+        return x, k_pool, v_pool, scale_pool
 
 
 class PagedGPT(nn.Module):
@@ -282,6 +320,7 @@ class PagedGPT(nn.Module):
         n_valid: jax.Array,  # [B]
         last_logit_only: bool = False,
         bases: Optional[jax.Array] = None,  # [B] contiguous-run first pages
+        scale_pool: Optional[jax.Array] = None,  # int8 KV scale sidecar
     ):
         cfg = self.cfg
         tcfg = cfg.decoder_cfg()
@@ -310,14 +349,17 @@ class PagedGPT(nn.Module):
                     cfg.padding_idx,
                 ))
                 x = x + jnp.take(table, positions, axis=0).astype(x.dtype)
-        x, k_pools, v_pools = PagedDecoderStack(
+        x, k_pools, v_pools, scale_pool = PagedDecoderStack(
             tcfg, pages_per_layer=pages_per_layer,
             use_kernel=self.use_kernel, chunk_pages=self.chunk_pages,
             name="decoder"
-        )(x, k_pools, v_pools, block_tables, lengths, n_valid, bases=bases)
+        )(x, k_pools, v_pools, block_tables, lengths, n_valid, bases=bases,
+          scale_pool=scale_pool)
         if last_logit_only:
             x = x[:, -1:]
         logits = embed.attend(x)
+        if scale_pool is not None:
+            return logits, k_pools, v_pools, scale_pool
         return logits, k_pools, v_pools
 
 
@@ -380,7 +422,10 @@ class ServingConfig:
     seed: int = 0
     chunk_pages: int = 8  # slab size for the contiguous-run decode kernel;
     # the last chunk_pages-1 pages of each layer's region are kept free so
-    # slab overreads stay in-bounds (ops/paged_attention._run_append_kernel)
+    # slab overreads stay in-bounds (ops/paged_attention._run_decode_kernel)
+    kv_dtype: str = "model"  # "model" (cfg.dtype) or "int8" (per-token
+    # symmetric quantization; halves the decode bandwidth roofline and
+    # doubles KV capacity at a small logit error — see quantize_kv_rows)
 
 
 @dataclasses.dataclass
@@ -417,10 +462,17 @@ class ServingEngine:
                               chunk_pages=scfg.chunk_pages)
         L, H = cfg.num_layers, cfg.num_heads
         D = cfg.embed_dim // H
-        self.k_pools = jnp.zeros(
-            (L * scfg.num_pages, scfg.page_size, H * D), cfg.dtype
-        )
-        self.v_pools = jnp.zeros_like(self.k_pools)
+        # per-layer page count rounded to a chunk multiple so every layer
+        # region starts slab-aligned (global run bases = i*P + local base)
+        self.num_pages = -(-scfg.num_pages // scfg.chunk_pages) * scfg.chunk_pages
+        self.quantized = scfg.kv_dtype == "int8"
+        kv_dt = jnp.int8 if self.quantized else cfg.dtype
+        k = jnp.zeros((L * self.num_pages, scfg.page_size, H * D), kv_dt)
+        pools = [k, jnp.zeros_like(k)]
+        if self.quantized:
+            nslab = L * self.num_pages // scfg.chunk_pages
+            pools.append(jnp.zeros(
+                (nslab, 8, scfg.chunk_pages * scfg.page_size), jnp.float32))
         self._pool_sharding = self._rep = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -432,8 +484,11 @@ class ServingEngine:
             self._pool_sharding = NamedSharding(mesh, P(None, None, "tensor"))
             self._rep = NamedSharding(mesh, P())
             params = jax.device_put(params, infer_param_shardings(params, mesh))
-            self.k_pools = jax.device_put(self.k_pools, self._pool_sharding)
-            self.v_pools = jax.device_put(self.v_pools, self._pool_sharding)
+            pools[0] = jax.device_put(pools[0], self._pool_sharding)
+            pools[1] = jax.device_put(pools[1], self._pool_sharding)
+            if self.quantized:
+                pools[2] = jax.device_put(pools[2], self._rep)
+        self.pools = tuple(pools)
         self.params = params
         self.tables = np.zeros((scfg.max_batch, scfg.max_pages_per_seq), np.int32)
         self.lengths = np.zeros(scfg.max_batch, np.int32)
@@ -446,23 +501,26 @@ class ServingEngine:
         # pages [1, num_pages - chunk_pages + 1): the tail stays free so the
         # run kernel's slab overread never leaves this layer's pool region
         self.free_pages: List[int] = list(
-            range(1, max(2, scfg.num_pages - scfg.chunk_pages + 1)))
+            range(1, max(2, self.num_pages - scfg.chunk_pages + 1)))
         self.slots: List[Optional[_Slot]] = [None] * scfg.max_batch
         self.queue: deque = deque()
         self.outputs: Dict[Any, List[int]] = {}
         self._rng = jax.random.PRNGKey(scfg.seed)
         self._step_count = 0
-        self._decode_jit = self._jit(self._decode_fn, 9)
+        self._decode_jit = self._jit(self._decode_fn, 8)
         self._decode_contig_jit = None  # built lazily (TPU-only path)
         self._prefill_jits: Dict[int, Any] = {}
 
     def _jit(self, fn, n_args):
         if self.mesh is None:
-            return jax.jit(fn, donate_argnums=(0, 1))
-        sh = [self._pool_sharding] * 2 + [self._rep] * (n_args - 2)
+            return jax.jit(fn, donate_argnums=(0,))
+        psh = [self._pool_sharding] * 2
+        if self.quantized:
+            psh.append(self._rep)
+        sh = [tuple(psh)] + [self._rep] * (n_args - 1)
         return jax.jit(
-            fn, donate_argnums=(0, 1), in_shardings=sh,
-            out_shardings=(self._rep, self._pool_sharding, self._pool_sharding),
+            fn, donate_argnums=(0,), in_shardings=sh,
+            out_shardings=(self._rep, tuple(psh)),
         )
 
     def _next_rng(self):
@@ -472,30 +530,39 @@ class ServingEngine:
         return jax.random.fold_in(self._rng, self._step_count)
 
     # ---- device fns ------------------------------------------------------ #
-    def _decode_fn(self, k_pools, v_pools, tokens, tables, lengths,
+    def _apply(self, pools, tokens, tables, lengths, n_valid, bases=None):
+        kp, vp = pools[0], pools[1]
+        sp = pools[2] if len(pools) == 3 else None
+        res = self.model.apply(
+            {"params": self.params}, tokens, kp, vp, tables,
+            lengths, n_valid, bases=bases, scale_pool=sp,
+        )
+        if sp is not None:
+            logits, kp, vp, sp = res
+            return logits, (kp, vp, sp)
+        logits, kp, vp = res
+        return logits, (kp, vp)
+
+    def _decode_fn(self, pools, tokens, tables, lengths,
                    temps, topks, topps, rng, bases=None):
         n_valid = jnp.ones_like(lengths)
-        logits, k_pools, v_pools = self.model.apply(
-            {"params": self.params}, tokens, k_pools, v_pools, tables,
-            lengths, n_valid, bases=bases,
-        )
+        logits, pools = self._apply(pools, tokens, tables, lengths, n_valid,
+                                    bases=bases)
         nxt = batched_sample(logits[:, -1], temps, topks, topps, rng,
                              max_topk=self.scfg.max_topk)
-        return nxt, k_pools, v_pools
+        return nxt, pools
 
-    def _prefill_fn(self, k_pools, v_pools, tokens, table, n_valid,
+    def _prefill_fn(self, pools, tokens, table, n_valid,
                     temps, topks, topps, rng):
-        logits, k_pools, v_pools = self.model.apply(
-            {"params": self.params}, tokens, k_pools, v_pools, table,
-            jnp.zeros((1,), jnp.int32), n_valid,
-        )
+        logits, pools = self._apply(pools, tokens, table,
+                                    jnp.zeros((1,), jnp.int32), n_valid)
         # first generated token = sampled at the last valid prompt position
         last = jnp.take_along_axis(
             logits.astype(jnp.float32), (n_valid - 1)[:, None, None], axis=1
         )[:, 0]
         nxt = batched_sample(last, temps, topks, topps, rng,
                              max_topk=self.scfg.max_topk)
-        return nxt, k_pools, v_pools
+        return nxt, pools
 
     # ---- scheduler ------------------------------------------------------- #
     def submit(self, req_id, prompt: List[int], max_new_tokens: Optional[int] = None,
@@ -549,11 +616,11 @@ class ServingEngine:
 
         bucket = -(-len(prompt) // self.scfg.prefill_bucket) * self.scfg.prefill_bucket
         if bucket not in self._prefill_jits:
-            self._prefill_jits[bucket] = self._jit(self._prefill_fn, 9)
+            self._prefill_jits[bucket] = self._jit(self._prefill_fn, 8)
         padded = np.full((1, bucket), self.cfg.padding_idx, np.int32)
         padded[0, : len(prompt)] = prompt
-        first, self.k_pools, self.v_pools = self._prefill_jits[bucket](
-            self.k_pools, self.v_pools, jnp.asarray(padded),
+        first, self.pools = self._prefill_jits[bucket](
+            self.pools, jnp.asarray(padded),
             jnp.asarray(row[None]), jnp.asarray([len(prompt)], jnp.int32),
             jnp.asarray([sp.temperature], jnp.float32),
             jnp.asarray([sp.top_k], jnp.int32),
@@ -599,7 +666,7 @@ class ServingEngine:
                     for i in range(self.scfg.max_batch) if self.active[i])
         )
         args = (
-            self.k_pools, self.v_pools,
+            self.pools,
             jnp.asarray(self.cur_tok[:, None]), jnp.asarray(self.tables),
             jnp.asarray(self.lengths),
             jnp.asarray(self.temps), jnp.asarray(self.topks),
@@ -608,13 +675,13 @@ class ServingEngine:
         if contig:
             if self._decode_contig_jit is None:
                 self._decode_contig_jit = jax.jit(
-                    lambda *a: self._decode_fn(*a[:9], bases=a[9]),
-                    donate_argnums=(0, 1),
+                    lambda *a: self._decode_fn(*a[:8], bases=a[8]),
+                    donate_argnums=(0,),
                 )
-            nxt, self.k_pools, self.v_pools = self._decode_contig_jit(
+            nxt, self.pools = self._decode_contig_jit(
                 *args, jnp.asarray(self.bases))
         else:
-            nxt, self.k_pools, self.v_pools = self._decode_jit(*args)
+            nxt, self.pools = self._decode_jit(*args)
         nxt = np.asarray(nxt)
         for i in range(self.scfg.max_batch):
             if self.active[i]:
