@@ -218,3 +218,44 @@ def test_quantize_kv_rows_roundtrip():
     v2 = np.float32(vi) * np.asarray(vs)[:, None]
     assert np.abs(k2 - np.asarray(k)).max() < np.abs(np.asarray(k)).max() / 100
     assert np.abs(v2 - np.asarray(v)).max() < np.abs(np.asarray(v)).max() / 100
+
+
+def test_moe_engine_matches_greedy():
+    """X-MoE decoder layers serve through the engine (deterministic routing)
+    and match the contiguous-cache greedy reference exactly."""
+    cfg = tiny_cfg(moe_freq=2, moe_experts=2)
+    params = init_params(cfg)
+    scfg = ServingConfig(max_batch=2, page_size=8, num_pages=32,
+                         max_pages_per_seq=8, max_new_tokens=5, eos=63,
+                         prefill_bucket=8)
+    eng = ServingEngine(cfg, scfg, params)
+    prompts = {"a": [5, 9, 11], "b": [7, 3, 3, 8, 12]}
+    for rid, p in prompts.items():
+        eng.submit(rid, p)
+    out = eng.run()
+    for rid, p in prompts.items():
+        ref = reference_greedy(cfg, params, p, 5, 63)
+        np.testing.assert_array_equal(np.asarray(out[rid]),
+                                      ref[: len(out[rid])], err_msg=rid)
+
+
+def test_chunked_prefill_long_prompt_interleaves():
+    """A prompt longer than prefill_bucket is prefilled in chunks (one
+    program, no per-length compiles) while another slot keeps decoding,
+    and still matches the contiguous-cache greedy reference exactly."""
+    cfg = tiny_cfg()
+    params = init_params(cfg)
+    scfg = ServingConfig(max_batch=2, page_size=8, num_pages=32,
+                         max_pages_per_seq=8, max_new_tokens=6, eos=63,
+                         prefill_bucket=8)
+    eng = ServingEngine(cfg, scfg, params)
+    long_prompt = list(np.random.RandomState(5).randint(3, 60, size=29))
+    prompts = {"short": [5, 9, 11], "long": long_prompt}
+    for rid, p in prompts.items():
+        eng.submit(rid, p)
+    out = eng.run()
+    for rid, p in prompts.items():
+        ref = reference_greedy(cfg, params, p, 6, 63)
+        np.testing.assert_array_equal(np.asarray(out[rid]),
+                                      ref[: len(out[rid])], err_msg=rid)
+        assert len(out[rid]) == 6

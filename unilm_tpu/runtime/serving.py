@@ -275,8 +275,13 @@ class PagedDecoderLayer(nn.Module):
         from unilm_tpu.core.transformer import _build_ffn
 
         ffn, is_moe = _build_ffn(cfg, self.layer_idx)
-        assert not is_moe, "MoE serving not supported yet"
-        x = residual + ffn(h, deterministic=True)
+        if is_moe:
+            # X-MoE FFN (core/moe.py einsum dispatch; EP sharding via GSPMD
+            # when served under a mesh with an 'expert' axis)
+            h, _aux = ffn(h, deterministic=True)
+            x = residual + h
+        else:
+            x = residual + ffn(h, deterministic=True)
         return x, k_pool, v_pool, scale_pool
 
 
@@ -444,6 +449,10 @@ class _Slot:
     reserved: int  # pages reserved at admission
     generated: int = 0
     base: int = -1  # first page of a contiguous run, or -1 if scattered
+    prompt: Optional[List[int]] = None  # tokens not yet prefilled
+    filled: int = 0  # prompt tokens already in the pool
+    table_row: Optional[np.ndarray] = None  # held back until prefill done
+    sp: Optional["SamplingParams"] = None
 
 
 class ServingEngine:
@@ -509,7 +518,7 @@ class ServingEngine:
         self._step_count = 0
         self._decode_jit = self._jit(self._decode_fn, 8)
         self._decode_contig_jit = None  # built lazily (TPU-only path)
-        self._prefill_jits: Dict[int, Any] = {}
+        self._prefill_jit = self._jit(self._prefill_fn, 9)
 
     def _jit(self, fn, n_args):
         if self.mesh is None:
@@ -552,10 +561,9 @@ class ServingEngine:
                              max_topk=self.scfg.max_topk)
         return nxt, pools
 
-    def _prefill_fn(self, pools, tokens, table, n_valid,
+    def _prefill_fn(self, pools, tokens, table, lengths, n_valid,
                     temps, topks, topps, rng):
-        logits, pools = self._apply(pools, tokens, table,
-                                    jnp.zeros((1,), jnp.int32), n_valid)
+        logits, pools = self._apply(pools, tokens, table, lengths, n_valid)
         # first generated token = sampled at the last valid prompt position
         last = jnp.take_along_axis(
             logits.astype(jnp.float32), (n_valid - 1)[:, None, None], axis=1
@@ -599,7 +607,8 @@ class ServingEngine:
     def _try_admit(self) -> bool:
         if not self.queue:
             return False
-        free_slots = [i for i in range(self.scfg.max_batch) if not self.active[i]]
+        free_slots = [i for i in range(self.scfg.max_batch)
+                      if self.slots[i] is None]
         if not free_slots:
             return False
         req_id, prompt, budget, sp = self.queue[0]
@@ -611,32 +620,51 @@ class ServingEngine:
         pages, base = self._alloc(need)
         row = np.zeros(self.scfg.max_pages_per_seq, np.int32)
         row[: len(pages)] = pages
-        self.tables[slot] = row
-        self.bases[slot] = max(base, 0)
+        # the slot's table stays pointed at the trash page until the whole
+        # prompt is prefilled: interleaved decode steps run over every slot
+        # row and must not write into this sequence's real pages
+        self.slots[slot] = _Slot(req_id, budget, reserved=need, base=base,
+                                 prompt=list(prompt), filled=0,
+                                 table_row=row, sp=sp)
+        return True
 
-        bucket = -(-len(prompt) // self.scfg.prefill_bucket) * self.scfg.prefill_bucket
-        if bucket not in self._prefill_jits:
-            self._prefill_jits[bucket] = self._jit(self._prefill_fn, 8)
+    def _prefill_chunk(self, slot: int) -> None:
+        """Advance one prefill_bucket-sized chunk of this slot's prompt
+        (Sarathi-style chunked prefill: long prompts never block decode for
+        more than one chunk, and there is exactly ONE prefill program to
+        compile instead of one per prompt-length bucket)."""
+        st = self.slots[slot]
+        bucket = self.scfg.prefill_bucket
+        chunk = st.prompt[st.filled:st.filled + bucket]
         padded = np.full((1, bucket), self.cfg.padding_idx, np.int32)
-        padded[0, : len(prompt)] = prompt
-        first, self.pools = self._prefill_jits[bucket](
+        padded[0, : len(chunk)] = chunk
+        first, self.pools = self._prefill_jit(
             self.pools, jnp.asarray(padded),
-            jnp.asarray(row[None]), jnp.asarray([len(prompt)], jnp.int32),
-            jnp.asarray([sp.temperature], jnp.float32),
-            jnp.asarray([sp.top_k], jnp.int32),
-            jnp.asarray([sp.top_p], jnp.float32),
+            jnp.asarray(st.table_row[None]),
+            jnp.asarray([st.filled], jnp.int32),
+            jnp.asarray([len(chunk)], jnp.int32),
+            jnp.asarray([st.sp.temperature], jnp.float32),
+            jnp.asarray([st.sp.top_k], jnp.int32),
+            jnp.asarray([st.sp.top_p], jnp.float32),
             self._next_rng(),
         )
-        first = int(first[0])
-        self.lengths[slot] = len(prompt)
-        self.cur_tok[slot] = first
-        self.active[slot] = True
-        self.temps[slot] = sp.temperature
-        self.topks[slot] = sp.top_k
-        self.topps[slot] = sp.top_p
-        self.slots[slot] = _Slot(req_id, budget, reserved=need, base=base)
-        self._record(slot, first)
-        return True
+        st.filled += len(chunk)
+        if st.filled >= len(st.prompt):
+            # prompt complete: install the table and go live
+            self.tables[slot] = st.table_row
+            self.bases[slot] = max(st.base, 0)
+            self.lengths[slot] = len(st.prompt)
+            self.cur_tok[slot] = int(first[0])
+            self.active[slot] = True
+            self.temps[slot] = st.sp.temperature
+            self.topks[slot] = st.sp.top_k
+            self.topps[slot] = st.sp.top_p
+            st.prompt = None
+            self._record(slot, int(first[0]))
+
+    def _prefilling_slots(self) -> List[int]:
+        return [i for i, st in enumerate(self.slots)
+                if st is not None and st.prompt is not None]
 
     def _record(self, slot: int, tok: int):
         s = self.slots[slot]
@@ -690,11 +718,14 @@ class ServingEngine:
                 self._record(i, int(nxt[i]))
 
     def run(self) -> Dict[Any, List[int]]:
-        while self.queue or self.active.any():
+        while self.queue or self.active.any() or self._prefilling_slots():
             while self._try_admit():
                 pass
+            pre = self._prefilling_slots()
+            if pre:
+                self._prefill_chunk(pre[0])
             if self.active.any():
                 self.step()
-            elif self.queue:
+            elif not pre and self.queue:
                 raise MemoryError("queued request can never be admitted")
         return self.outputs
