@@ -80,7 +80,9 @@ def test_eos_frees_slot_and_pages():
     eng.submit("x", [5, 6, 7], max_new_tokens=4)
     eng.submit("y", [9, 10], max_new_tokens=4)
     out = eng.run()
-    assert len(eng.free_pages) == free0  # all pages returned
+    retained = sum(1 for rc in eng.page_rc.values() if rc == 0)
+    assert len(eng.free_pages) + retained == free0  # returned or retained
+    assert all(rc == 0 for rc in eng.page_rc.values())  # no live sharers
     assert not eng.active.any()
     assert set(out) == {"x", "y"} and all(len(v) >= 1 for v in out.values())
 
@@ -259,3 +261,50 @@ def test_chunked_prefill_long_prompt_interleaves():
         np.testing.assert_array_equal(np.asarray(out[rid]),
                                       ref[: len(out[rid])], err_msg=rid)
         assert len(out[rid]) == 6
+
+
+def test_prefix_caching_reuses_pages_and_matches():
+    """A repeated prompt prefix is served from cached pages: the second
+    request prefills fewer chunks and the streams still match the
+    contiguous-cache greedy reference exactly."""
+    cfg = tiny_cfg()
+    params = init_params(cfg)
+    scfg = ServingConfig(max_batch=1, page_size=8, num_pages=32,
+                         max_pages_per_seq=8, max_new_tokens=4, eos=63,
+                         prefill_bucket=8)
+    eng = ServingEngine(cfg, scfg, params)
+    sys_prompt = list(np.random.RandomState(1).randint(3, 60, size=16))
+    p1 = sys_prompt + [7, 9]
+    p2 = sys_prompt + [11, 13, 4]
+    eng.submit("r1", p1)
+    out1 = eng.run()
+    chunks_r1 = eng.stats["prefill_chunks"]
+    eng.submit("r2", p2)
+    out2 = eng.run()
+    chunks_r2 = eng.stats["prefill_chunks"] - chunks_r1
+    assert eng.stats["prefix_hit_pages"] == 2  # 16 tokens = 2 full pages
+    assert chunks_r2 < chunks_r1  # shared prefix skipped
+    for rid, p, out in (("r1", p1, out1), ("r2", p2, out2)):
+        ref = reference_greedy(cfg, params, p, 4, 63)
+        np.testing.assert_array_equal(np.asarray(out[rid]),
+                                      ref[: len(out[rid])], err_msg=rid)
+
+
+def test_prefix_cache_eviction_under_pressure():
+    """Retained prefix pages are evicted when the pool runs dry, and the
+    engine keeps serving correctly."""
+    cfg = tiny_cfg()
+    params = init_params(cfg)
+    scfg = ServingConfig(max_batch=1, page_size=8, num_pages=16,
+                         max_pages_per_seq=4, max_new_tokens=3, eos=63,
+                         prefill_bucket=8)
+    eng = ServingEngine(cfg, scfg, params)
+    rng = np.random.RandomState(2)
+    for i in range(6):  # distinct prompts overflow the retained set
+        p = list(rng.randint(3, 60, size=17))
+        eng.submit(f"r{i}", p)
+        out = eng.run()
+        ref = reference_greedy(cfg, params, p, 3, 63)
+        np.testing.assert_array_equal(np.asarray(out[f"r{i}"]),
+                                      ref[: len(out[f"r{i}"])])
+    assert eng.stats["evicted_pages"] > 0

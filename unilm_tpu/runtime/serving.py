@@ -22,10 +22,17 @@ serving story that ties our pieces together:
   no generate-call barrier, mixed sequence lengths share HBM.
 
 Design notes (TPU-first): everything on device is static-shape — slot count,
-page pool, block tables, bucketed prefill lengths. Page 0 is a trash page:
-pad positions and inactive slots scatter there so no sequence reads another's
-KV. Pages for prompt+max_new are reserved at admission (simpler than vLLM's
-on-demand growth + preemption; admission backpressures instead).
+page pool, block tables, chunked prefill with ONE fixed-size program. Page 0
+is a trash page: pad positions and inactive slots scatter there so no
+sequence reads another's KV. Pages for prompt+max_new are reserved at
+admission (simpler than vLLM's on-demand growth + preemption; admission
+backpressures instead).
+
+Prompts prefill in prefill_bucket-sized chunks interleaved with decode
+steps (Sarathi-style), and full prompt pages register in a prefix cache:
+a later request whose prompt starts with a cached page chain reuses those
+pages (refcounted; rc==0 pages are retained for future hits and evicted
+under pool pressure) and skips their prefill entirely.
 """
 
 from __future__ import annotations
@@ -428,6 +435,7 @@ class ServingConfig:
     chunk_pages: int = 8  # slab size for the contiguous-run decode kernel;
     # the last chunk_pages-1 pages of each layer's region are kept free so
     # slab overreads stay in-bounds (ops/paged_attention._run_decode_kernel)
+    prefix_caching: bool = True  # page-granular prompt-prefix sharing
     kv_dtype: str = "model"  # "model" (cfg.dtype) or "int8" (per-token
     # symmetric quantization; halves the decode bandwidth roofline and
     # doubles KV capacity at a small logit error — see quantize_kv_rows)
@@ -453,6 +461,7 @@ class _Slot:
     filled: int = 0  # prompt tokens already in the pool
     table_row: Optional[np.ndarray] = None  # held back until prefill done
     sp: Optional["SamplingParams"] = None
+    full_prompt: Optional[List[int]] = None  # for prefix registration
 
 
 class ServingEngine:
@@ -514,6 +523,16 @@ class ServingEngine:
         self.slots: List[Optional[_Slot]] = [None] * scfg.max_batch
         self.queue: deque = deque()
         self.outputs: Dict[Any, List[int]] = {}
+        # prefix cache: chain-key (nested tuples of full-page token tuples)
+        # -> logical page id; page_rc counts live slots sharing a page
+        # (rc==0 entries are retained for reuse and evictable under
+        # pool pressure). Reference has no equivalent; this is the
+        # vLLM-automatic-prefix-caching capability, reservation-style.
+        self.prefix_cache: Dict[Any, int] = {}
+        self.page_key: Dict[int, Any] = {}
+        self.page_rc: Dict[int, int] = {}
+        self.stats = {"prefill_chunks": 0, "prefix_hit_pages": 0,
+                      "evicted_pages": 0}
         self._rng = jax.random.PRNGKey(scfg.seed)
         self._step_count = 0
         self._decode_jit = self._jit(self._decode_fn, 8)
@@ -583,6 +602,43 @@ class ServingEngine:
     def _pages_needed(self, total_len: int) -> int:
         return -(-total_len // self.scfg.page_size)
 
+    def _prefix_keys(self, prompt: List[int]):
+        """Chain keys for each FULL page of the prompt."""
+        page = self.scfg.page_size
+        keys, key = [], ()
+        for i in range(len(prompt) // page):
+            key = (key, tuple(prompt[i * page:(i + 1) * page]))
+            keys.append(key)
+        return keys
+
+    def _match_prefix(self, prompt: List[int]) -> List[int]:
+        """Longest chain of cached full pages matching the prompt head."""
+        if not self.scfg.prefix_caching:
+            return []
+        matched = []
+        for key in self._prefix_keys(prompt):
+            pid = self.prefix_cache.get(key)
+            if pid is None:
+                break
+            matched.append(pid)
+        return matched
+
+    def _evict_retained(self, need: int) -> int:
+        """Free up to `need` retained (rc==0) prefix pages. Returns count."""
+        freed = 0
+        # evict deepest chains first so shorter shared prefixes survive
+        for pid, rc in sorted(self.page_rc.items(),
+                              key=lambda kv: -len(str(self.page_key[kv[0]]))):
+            if freed >= need:
+                break
+            if rc == 0:
+                self.prefix_cache.pop(self.page_key.pop(pid), None)
+                del self.page_rc[pid]
+                self.free_pages.append(pid)
+                self.stats["evicted_pages"] += 1
+                freed += 1
+        return freed
+
     def _alloc(self, need: int) -> Tuple[List[int], int]:
         """Allocate `need` pages, contiguous-first (vLLM reserves page-by-
         page; we reserve the whole budget at admission, so a contiguous run
@@ -613,19 +669,33 @@ class ServingEngine:
             return False
         req_id, prompt, budget, sp = self.queue[0]
         need = self._pages_needed(len(prompt) + budget)
-        if need > self.scfg.max_pages_per_seq or need > len(self.free_pages):
+        if need > self.scfg.max_pages_per_seq:
+            self.queue.popleft()
+            raise MemoryError(f"request {req_id!r} exceeds max_pages_per_seq")
+        matched = self._match_prefix(prompt)
+        self.stats["prefix_hit_pages"] += len(matched)
+        need_new = need - len(matched)
+        if need_new > len(self.free_pages):
+            self._evict_retained(need_new - len(self.free_pages))
+        if need_new > len(self.free_pages):
             return False  # backpressure
         self.queue.popleft()
         slot = free_slots[0]
-        pages, base = self._alloc(need)
+        pages, base = self._alloc(need_new)
+        for pid in matched:
+            self.page_rc[pid] += 1
         row = np.zeros(self.scfg.max_pages_per_seq, np.int32)
-        row[: len(pages)] = pages
+        row[: len(matched)] = matched
+        row[len(matched): len(matched) + len(pages)] = pages
+        base = -1 if matched else base  # mixed tables use the table kernel
         # the slot's table stays pointed at the trash page until the whole
         # prompt is prefilled: interleaved decode steps run over every slot
         # row and must not write into this sequence's real pages
         self.slots[slot] = _Slot(req_id, budget, reserved=need, base=base,
-                                 prompt=list(prompt), filled=0,
-                                 table_row=row, sp=sp)
+                                 prompt=list(prompt),
+                                 filled=len(matched) * self.scfg.page_size,
+                                 table_row=row, sp=sp,
+                                 full_prompt=list(prompt))
         return True
 
     def _prefill_chunk(self, slot: int) -> None:
@@ -634,6 +704,7 @@ class ServingEngine:
         more than one chunk, and there is exactly ONE prefill program to
         compile instead of one per prompt-length bucket)."""
         st = self.slots[slot]
+        self.stats["prefill_chunks"] += 1
         bucket = self.scfg.prefill_bucket
         chunk = st.prompt[st.filled:st.filled + bucket]
         padded = np.full((1, bucket), self.cfg.padding_idx, np.int32)
@@ -650,6 +721,19 @@ class ServingEngine:
         )
         st.filled += len(chunk)
         if st.filled >= len(st.prompt):
+            # register this prompt's full pages for prefix sharing (only now:
+            # their KV just finished landing in the pool)
+            if self.scfg.prefix_caching:
+                for i, key in enumerate(self._prefix_keys(st.full_prompt)):
+                    pid = int(st.table_row[i])
+                    if key not in self.prefix_cache:
+                        # newly shareable page: rc counts THIS slot (pages
+                        # matched at admission were already counted there;
+                        # a concurrent same-prefix prefill that lost the
+                        # registration race keeps its private copy unshared)
+                        self.prefix_cache[key] = pid
+                        self.page_key[pid] = key
+                        self.page_rc[pid] = self.page_rc.get(pid, 0) + 1
             # prompt complete: install the table and go live
             self.tables[slot] = st.table_row
             self.bases[slot] = max(st.base, 0)
@@ -671,8 +755,15 @@ class ServingEngine:
         self.outputs[s.req_id].append(tok)
         s.generated += 1
         if tok == self.scfg.eos or s.generated >= s.budget:
-            # free pages, clear slot
-            self.free_pages.extend(int(p) for p in self.tables[slot][: s.reserved])
+            # free pages, clear slot; shared prefix pages only drop their
+            # refcount (rc==0 pages stay RETAINED in the cache for reuse and
+            # are reclaimed by _evict_retained under pool pressure)
+            for p in self.tables[slot][: s.reserved]:
+                p = int(p)
+                if p in self.page_rc:
+                    self.page_rc[p] -= 1
+                else:
+                    self.free_pages.append(p)
             self.tables[slot] = 0
             self.lengths[slot] = 0
             self.active[slot] = False
