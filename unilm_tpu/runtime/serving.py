@@ -530,6 +530,7 @@ class ServingEngine:
         # vLLM-automatic-prefix-caching capability, reservation-style.
         self.prefix_cache: Dict[Any, int] = {}
         self.page_key: Dict[int, Any] = {}
+        self.page_depth: Dict[int, int] = {}  # chain depth (eviction order)
         self.page_rc: Dict[int, int] = {}
         self.stats = {"prefill_chunks": 0, "prefix_hit_pages": 0,
                       "evicted_pages": 0}
@@ -628,11 +629,12 @@ class ServingEngine:
         freed = 0
         # evict deepest chains first so shorter shared prefixes survive
         for pid, rc in sorted(self.page_rc.items(),
-                              key=lambda kv: -len(str(self.page_key[kv[0]]))):
+                              key=lambda kv: -self.page_depth.get(kv[0], 0)):
             if freed >= need:
                 break
             if rc == 0:
                 self.prefix_cache.pop(self.page_key.pop(pid), None)
+                self.page_depth.pop(pid, None)
                 del self.page_rc[pid]
                 self.free_pages.append(pid)
                 self.stats["evicted_pages"] += 1
@@ -733,6 +735,7 @@ class ServingEngine:
                         # registration race keeps its private copy unshared)
                         self.prefix_cache[key] = pid
                         self.page_key[pid] = key
+                        self.page_depth[pid] = i
                         self.page_rc[pid] = self.page_rc.get(pid, 0) + 1
             # prompt complete: install the table and go live
             self.tables[slot] = st.table_row
