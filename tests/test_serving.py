@@ -308,3 +308,48 @@ def test_prefix_cache_eviction_under_pressure():
         np.testing.assert_array_equal(np.asarray(out[f"r{i}"]),
                                       ref[: len(out[f"r{i}"])])
     assert eng.stats["evicted_pages"] > 0
+
+
+def test_speculative_decoding_exact_and_accepts():
+    """Prompt-lookup speculative decoding emits multiple tokens per verify
+    step on repetitive content while matching the non-speculative greedy
+    stream EXACTLY."""
+    cfg = tiny_cfg()
+    params = init_params(cfg)
+    base_kw = dict(max_batch=2, page_size=8, num_pages=32,
+                   max_pages_per_seq=8, max_new_tokens=10, eos=63,
+                   prefill_bucket=8)
+    # repetitive prompt => the model tends to repeat => drafts accept
+    prompt = [5, 9, 11, 5, 9, 11, 5, 9, 11, 5, 9]
+
+    eng0 = ServingEngine(cfg, ServingConfig(**base_kw), params)
+    eng0.submit("r", prompt)
+    out0 = eng0.run()
+
+    eng1 = ServingEngine(cfg, ServingConfig(**base_kw, spec_k=4), params)
+    eng1.submit("r", prompt)
+    out1 = eng1.run()
+
+    assert out0 == out1  # exactness: spec decode never changes the stream
+    assert eng1.stats["spec_steps"] > 0
+    assert eng1.stats["spec_accepted"] > 0  # multi-token steps happened
+
+
+def test_speculative_mixed_with_sampled_slot():
+    """A sampled slot decodes normally while a greedy slot speculates; both
+    streams are reproducible and the greedy one is exact."""
+    cfg = tiny_cfg()
+    params = init_params(cfg)
+    kw = dict(max_batch=2, page_size=8, num_pages=32, max_pages_per_seq=8,
+              max_new_tokens=8, eos=63, prefill_bucket=8, seed=3)
+    prompt = [5, 9, 11, 5, 9, 11, 5, 9]
+
+    def run(spec):
+        eng = ServingEngine(cfg, ServingConfig(**kw, spec_k=4 if spec else 0),
+                            params)
+        eng.submit("g", prompt)
+        eng.submit("s", [7, 3, 3], sampling=SamplingParams(temperature=0.8))
+        return eng.run()
+
+    a, b = run(False), run(True)
+    assert a["g"] == b["g"]  # greedy slot exact under speculation

@@ -436,6 +436,9 @@ class ServingConfig:
     # the last chunk_pages-1 pages of each layer's region are kept free so
     # slab overreads stay in-bounds (ops/paged_attention._run_decode_kernel)
     prefix_caching: bool = True  # page-granular prompt-prefix sharing
+    spec_k: int = 0  # speculative decoding: verify up to k prompt-lookup
+    # draft tokens per step (0 = off). Greedy slots only; exact-output.
+    spec_ngram: int = 3  # n-gram length for prompt-lookup draft matching
     kv_dtype: str = "model"  # "model" (cfg.dtype) or "int8" (per-token
     # symmetric quantization; halves the decode bandwidth roofline and
     # doubles KV capacity at a small logit error — see quantize_kv_rows)
@@ -462,6 +465,7 @@ class _Slot:
     table_row: Optional[np.ndarray] = None  # held back until prefill done
     sp: Optional["SamplingParams"] = None
     full_prompt: Optional[List[int]] = None  # for prefix registration
+    history: Optional[List[int]] = None  # prompt + emitted (lookup drafting)
 
 
 class ServingEngine:
@@ -533,7 +537,9 @@ class ServingEngine:
         self.page_depth: Dict[int, int] = {}  # chain depth (eviction order)
         self.page_rc: Dict[int, int] = {}
         self.stats = {"prefill_chunks": 0, "prefix_hit_pages": 0,
-                      "evicted_pages": 0}
+                      "evicted_pages": 0, "spec_steps": 0,
+                      "spec_accepted": 0}
+        self._verify_jit = None  # built lazily when spec_k > 0
         self._rng = jax.random.PRNGKey(scfg.seed)
         self._step_count = 0
         self._decode_jit = self._jit(self._decode_fn, 8)
@@ -580,6 +586,15 @@ class ServingEngine:
         nxt = batched_sample(logits[:, -1], temps, topks, topps, rng,
                              max_topk=self.scfg.max_topk)
         return nxt, pools
+
+    def _verify_fn(self, pools, tokens, tables, lengths, n_valid):
+        """Speculative verify: run T=spec_k+1 positions through the model
+        and return the greedy token AT EVERY position. Drafted rows land in
+        the pool like a prefill chunk; rejected ones become stale rows
+        beyond the accepted length — the paged layout makes rewind free."""
+        logits, pools = self._apply(pools, tokens, tables, lengths, n_valid)
+        g = jnp.argmax(logits.astype(jnp.float32), axis=-1).astype(jnp.int32)
+        return g, pools
 
     def _prefill_fn(self, pools, tokens, table, lengths, n_valid,
                     temps, topks, topps, rng):
@@ -697,7 +712,9 @@ class ServingEngine:
                                  prompt=list(prompt),
                                  filled=len(matched) * self.scfg.page_size,
                                  table_row=row, sp=sp,
-                                 full_prompt=list(prompt))
+                                 full_prompt=list(prompt),
+                                 history=(list(prompt)
+                                          if self.scfg.spec_k > 0 else None))
         return True
 
     def _prefill_chunk(self, slot: int) -> None:
@@ -747,6 +764,8 @@ class ServingEngine:
             self.topks[slot] = st.sp.top_k
             self.topps[slot] = st.sp.top_p
             st.prompt = None
+            if st.history is not None:
+                st.history.append(int(first[0]))
             self._record(slot, int(first[0]))
 
     def _prefilling_slots(self) -> List[int]:
@@ -776,11 +795,83 @@ class ServingEngine:
             self.bases[slot] = 0
             self.slots[slot] = None
 
+    def _find_draft(self, slot: int) -> List[int]:
+        """Prompt-lookup drafting (Saxena 2023 / vLLM ngram speculator):
+        match the last spec_ngram history tokens against earlier history;
+        on a hit, propose the tokens that followed."""
+        st = self.slots[slot]
+        n, k = self.scfg.spec_ngram, self.scfg.spec_k
+        h = st.history
+        if h is None or len(h) <= n:
+            return []
+        tail = h[-n:]
+        # newest match first (recent repetition predicts best)
+        for i in range(len(h) - n - 1, -1, -1):
+            if h[i:i + n] == tail:
+                d = h[i + n:i + n + k]
+                if d:
+                    return d
+                break
+        return []
+
+    def _spec_room(self, slot: int) -> bool:
+        """Drafted rows must stay inside the slot's reserved pages (the
+        scatter clips out-of-table positions onto the last page, which
+        would overwrite valid rows)."""
+        st = self.slots[slot]
+        cap = st.reserved * self.scfg.page_size
+        return int(self.lengths[slot]) + self.scfg.spec_k + 1 <= cap
+
+    def _spec_step(self, drafts: Dict[int, List[int]]) -> None:
+        K = self.scfg.spec_k
+        B = self.scfg.max_batch
+        tokens = np.full((B, K + 1), self.cfg.padding_idx, np.int32)
+        n_valid = np.ones(B, np.int32)
+        tokens[:, 0] = self.cur_tok
+        for i, d in drafts.items():
+            tokens[i, 1:1 + len(d)] = d
+            n_valid[i] = 1 + len(d)
+        if self._verify_jit is None:
+            self._verify_jit = self._jit(self._verify_fn, 5)
+        g, self.pools = self._verify_jit(
+            self.pools, jnp.asarray(tokens), jnp.asarray(self.tables),
+            jnp.asarray(self.lengths), jnp.asarray(n_valid),
+        )
+        g = np.asarray(g)
+        self.stats["spec_steps"] += 1
+        for i in range(B):
+            if not self.active[i]:
+                continue
+            d = drafts.get(i, [])
+            acc = 0
+            while acc < len(d) and d[acc] == g[i, acc]:
+                acc += 1
+            self.stats["spec_accepted"] += acc
+            # emit the accepted drafts plus the bonus token
+            emitted = list(d[:acc]) + [int(g[i, acc])]
+            self.lengths[i] += acc + 1
+            self.cur_tok[i] = int(g[i, acc])
+            for t in emitted:
+                if self.slots[i] is None:
+                    break  # EOS/budget hit mid-acceptance
+                if self.slots[i].history is not None:
+                    self.slots[i].history.append(int(t))
+                self._record(i, int(t))
+
     def step(self):
         """One decode step for every active slot (single jitted call).
         When every active slot holds a contiguous page run (the common case
         under the contiguous-first allocator), dispatch the slab-DMA decode
         program; otherwise the block-table walk."""
+        if self.scfg.spec_k > 0:
+            drafts = {
+                i: d for i in range(self.scfg.max_batch)
+                if self.active[i] and self.temps[i] <= 0
+                and self._spec_room(i) and (d := self._find_draft(i))
+            }
+            if drafts:
+                self._spec_step(drafts)
+                return
         contig = (
             self.mesh is None
             and jax.default_backend() == "tpu"
@@ -809,6 +900,8 @@ class ServingEngine:
             if self.active[i]:
                 self.lengths[i] += 1
                 self.cur_tok[i] = nxt[i]
+                if self.slots[i].history is not None:
+                    self.slots[i].history.append(int(nxt[i]))
                 self._record(i, int(nxt[i]))
 
     def run(self) -> Dict[Any, List[int]]:
