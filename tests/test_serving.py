@@ -353,3 +353,79 @@ def test_speculative_mixed_with_sampled_slot():
 
     a, b = run(False), run(True)
     assert a["g"] == b["g"]  # greedy slot exact under speculation
+
+
+def test_page_aligned_prompt_prefix_cache_exact():
+    """ADVICE r1 (high): a page-aligned prompt resubmitted after its pages
+    were cached must NOT be served entirely from cache — the last prompt
+    token is recomputed so the first sample comes from a real query."""
+    cfg = tiny_cfg()
+    params = init_params(cfg)
+    scfg = ServingConfig(max_batch=1, page_size=8, num_pages=32,
+                         max_pages_per_seq=8, max_new_tokens=4, eos=63,
+                         prefill_bucket=8)
+    eng = ServingEngine(cfg, scfg, params)
+    prompt = list(np.random.RandomState(5).randint(3, 60, size=16))  # 2 pages
+    eng.submit("r1", prompt)
+    out1 = eng.run()
+    eng.submit("r2", prompt)  # identical, fully page-aligned
+    out2 = eng.run()
+    ref = reference_greedy(cfg, params, prompt, 4, 63)
+    np.testing.assert_array_equal(np.asarray(out1["r1"]), ref[: len(out1["r1"])])
+    np.testing.assert_array_equal(np.asarray(out2["r2"]), ref[: len(out2["r2"])])
+    assert eng.stats["prefix_hit_pages"] == 1  # capped below the full 2 pages
+
+
+def test_admit_under_pressure_does_not_evict_matched_pages():
+    """ADVICE r1 (high): _try_admit must pin matched prefix pages before
+    eviction; previously eviction could reclaim them (rc==0) and the
+    engine crashed with KeyError / reused the pages in the same table."""
+    cfg = tiny_cfg()
+    params = init_params(cfg)
+    # tight pool: retained prefixes + a new admission force eviction while
+    # the new prompt's own prefix chain is the deepest retained chain
+    scfg = ServingConfig(max_batch=1, page_size=8, num_pages=16,
+                         max_pages_per_seq=4, max_new_tokens=3, eos=63,
+                         prefill_bucket=8)
+    eng = ServingEngine(cfg, scfg, params)
+    rng = np.random.RandomState(7)
+    long_prompt = list(rng.randint(3, 60, size=25))  # 3 full pages + 1
+    eng.submit("a", long_prompt)
+    out_a = eng.run()
+    # fill the retained set further with a different prompt
+    other = list(rng.randint(3, 60, size=17))
+    eng.submit("b", other)
+    eng.run()
+    # resubmit the first prompt: its (deep) retained chain matches; pool
+    # pressure triggers eviction during admission
+    eng.submit("c", long_prompt)
+    out_c = eng.run()  # must not raise
+    ref = reference_greedy(cfg, params, long_prompt, 3, 63)
+    np.testing.assert_array_equal(np.asarray(out_a["a"]), ref[: len(out_a["a"])])
+    np.testing.assert_array_equal(np.asarray(out_c["c"]), ref[: len(out_c["c"])])
+
+
+def test_spec_step_preserves_sampled_slot_distribution():
+    """ADVICE r1 (medium): during a spec step, a temperature>0 slot must be
+    advanced by batched_sample with its own params — not by the greedy
+    verify argmax. With a huge temperature the sampled stream must diverge
+    from the pure-greedy stream (argmax forcing would make them equal)."""
+    cfg = tiny_cfg()
+    params = init_params(cfg)
+    kw = dict(max_batch=2, page_size=8, num_pages=32, max_pages_per_seq=8,
+              max_new_tokens=16, eos=63, prefill_bucket=8, seed=13)
+    g_prompt = [5, 9, 11, 5, 9, 11, 5, 9]  # repetitive => drafts fire
+    s_prompt = [7, 3, 3]
+
+    eng = ServingEngine(cfg, ServingConfig(**kw, spec_k=4), params)
+    eng.submit("g", g_prompt)
+    eng.submit("s", s_prompt, sampling=SamplingParams(temperature=5.0))
+    out = eng.run()
+    assert eng.stats["spec_steps"] > 0  # speculation actually happened
+    # greedy slot stays exact
+    ref_g = reference_greedy(cfg, params, g_prompt, 16, 63)
+    np.testing.assert_array_equal(np.asarray(out["g"]), ref_g[: len(out["g"])])
+    # sampled slot: near-uniform sampling over 64 tokens for 16 steps matches
+    # the deterministic greedy continuation with probability ~64^-16
+    ref_s = reference_greedy(cfg, params, s_prompt, 16, 63)
+    assert list(out["s"]) != list(ref_s[: len(out["s"])])

@@ -587,14 +587,22 @@ class ServingEngine:
                              max_topk=self.scfg.max_topk)
         return nxt, pools
 
-    def _verify_fn(self, pools, tokens, tables, lengths, n_valid):
+    def _verify_fn(self, pools, tokens, tables, lengths, n_valid,
+                   temps, topks, topps, rng):
         """Speculative verify: run T=spec_k+1 positions through the model
         and return the greedy token AT EVERY position. Drafted rows land in
         the pool like a prefill chunk; rejected ones become stale rows
-        beyond the accepted length — the paged layout makes rewind free."""
+        beyond the accepted length — the paged layout makes rewind free.
+
+        Non-drafted slots (sampled, or greedy without a lookup hit) ride the
+        same program as a plain decode step: their position-0 logits are run
+        through batched_sample with the slot's own params, so a spec step
+        never forces argmax onto a temperature>0 slot."""
         logits, pools = self._apply(pools, tokens, tables, lengths, n_valid)
         g = jnp.argmax(logits.astype(jnp.float32), axis=-1).astype(jnp.int32)
-        return g, pools
+        s0 = batched_sample(logits[:, 0], temps, topks, topps, rng,
+                            max_topk=self.scfg.max_topk)
+        return g, s0, pools
 
     def _prefill_fn(self, pools, tokens, table, lengths, n_valid,
                     temps, topks, topps, rng):
@@ -628,11 +636,18 @@ class ServingEngine:
         return keys
 
     def _match_prefix(self, prompt: List[int]) -> List[int]:
-        """Longest chain of cached full pages matching the prompt head."""
+        """Longest chain of cached full pages matching the prompt head.
+
+        Capped at (len(prompt)-1)//page_size pages so the final prompt token
+        is ALWAYS recomputed: a page-aligned prompt fully served from cache
+        would leave _prefill_chunk with an empty chunk (n_valid=0) and the
+        first sample would read a padding-token query at a clamped index
+        (vLLM recomputes the last block for exactly this reason)."""
         if not self.scfg.prefix_caching:
             return []
         matched = []
-        for key in self._prefix_keys(prompt):
+        max_full = (len(prompt) - 1) // self.scfg.page_size
+        for key in self._prefix_keys(prompt)[:max_full]:
             pid = self.prefix_cache.get(key)
             if pid is None:
                 break
@@ -690,17 +705,22 @@ class ServingEngine:
             self.queue.popleft()
             raise MemoryError(f"request {req_id!r} exceeds max_pages_per_seq")
         matched = self._match_prefix(prompt)
-        self.stats["prefix_hit_pages"] += len(matched)
+        # pin the matched pages BEFORE eviction: they may sit at rc==0
+        # (retained) and _evict_retained would otherwise reclaim them,
+        # leaving dangling page ids in this request's table
+        for pid in matched:
+            self.page_rc[pid] += 1
         need_new = need - len(matched)
         if need_new > len(self.free_pages):
             self._evict_retained(need_new - len(self.free_pages))
         if need_new > len(self.free_pages):
+            for pid in matched:  # un-pin; request stays queued
+                self.page_rc[pid] -= 1
             return False  # backpressure
+        self.stats["prefix_hit_pages"] += len(matched)
         self.queue.popleft()
         slot = free_slots[0]
         pages, base = self._alloc(need_new)
-        for pid in matched:
-            self.page_rc[pid] += 1
         row = np.zeros(self.scfg.max_pages_per_seq, np.int32)
         row[: len(matched)] = matched
         row[len(matched): len(matched) + len(pages)] = pages
@@ -832,17 +852,29 @@ class ServingEngine:
             tokens[i, 1:1 + len(d)] = d
             n_valid[i] = 1 + len(d)
         if self._verify_jit is None:
-            self._verify_jit = self._jit(self._verify_fn, 5)
-        g, self.pools = self._verify_jit(
+            self._verify_jit = self._jit(self._verify_fn, 9)
+        g, s0, self.pools = self._verify_jit(
             self.pools, jnp.asarray(tokens), jnp.asarray(self.tables),
             jnp.asarray(self.lengths), jnp.asarray(n_valid),
+            jnp.asarray(self.temps), jnp.asarray(self.topks),
+            jnp.asarray(self.topps), self._next_rng(),
         )
-        g = np.asarray(g)
+        g, s0 = np.asarray(g), np.asarray(s0)
         self.stats["spec_steps"] += 1
         for i in range(B):
             if not self.active[i]:
                 continue
-            d = drafts.get(i, [])
+            if i not in drafts:
+                # plain decode step for this slot: emit the position-0 token
+                # sampled with ITS params (argmax iff temperature <= 0)
+                tok = int(s0[i])
+                self.lengths[i] += 1
+                self.cur_tok[i] = tok
+                if self.slots[i].history is not None:
+                    self.slots[i].history.append(tok)
+                self._record(i, tok)
+                continue
+            d = drafts[i]
             acc = 0
             while acc < len(d) and d[acc] == g[i, acc]:
                 acc += 1
