@@ -49,6 +49,9 @@ class GenerationConfig:
     eos: int = 2
     unk: int = 3
     vocab_size: int = 0
+    # diverse beam (Vijayakumar et al. 2016; fairseq search.DiverseBeamSearch)
+    num_groups: int = 1
+    diversity_strength: float = 0.5
 
 
 def _gather_beams(tree: Any, idx: jax.Array, batch: int, old_k: int) -> Any:
@@ -325,10 +328,431 @@ def generate(
     aux: Any = None,
     rng: Optional[jax.Array] = None,
 ):
-    """Dispatch: beam_size>1 -> beam; else greedy/sampling."""
+    """Dispatch: the fairseq search switchboard (trocr/task.py:191-250).
+    num_groups>1 -> diverse beam; beam_size>1 -> beam; else greedy/sampling."""
+    if cfg.num_groups > 1 and not cfg.sampling:
+        return diverse_beam_generate(cfg, prefill, step, params, prompt, aux)
     if cfg.beam_size > 1 and not cfg.sampling:
         return beam_generate(cfg, prefill, step, params, prompt, aux)
     return greedy_generate(cfg, prefill, step, params, prompt, aux, rng)
+
+
+# --------------------------------------------------------------------------- #
+# Diverse beam search (Vijayakumar et al. 2016)
+# --------------------------------------------------------------------------- #
+
+
+def diverse_beam_generate(
+    cfg: GenerationConfig,
+    prefill: Callable,
+    step: Callable,
+    params: Any,
+    prompt: jax.Array,  # [B, P]
+    aux: Any = None,
+):
+    """Diverse beam search (fairseq search.DiverseBeamSearch): beam_size is
+    split into `num_groups` groups decoded sequentially within each step;
+    group g's logprobs are penalized by diversity_strength * (count of times
+    each token was already picked by groups 0..g-1 at THIS step), so groups
+    explore different continuations. With num_groups=1 or strength=0 each
+    group is an independent standard beam.
+
+    Returns (tokens [B, K, total], scores [B, K]) sorted best-first. A beam's
+    group is beam_index % num_groups (fairseq's interleaved layout)."""
+    B, P = prompt.shape
+    K, G = cfg.beam_size, cfg.num_groups
+    assert K % G == 0, "beam_size must be divisible by num_groups"
+    Kg = K // G
+    total = P + cfg.max_new_tokens
+    V = cfg.vocab_size
+    assert V > 0 and Kg <= V
+
+    logits, cache = prefill(params, prompt, aux)
+    lp_all = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32) / cfg.temperature)
+    tokens_flat = jnp.full((B, total), cfg.pad, jnp.int32)
+    tokens_flat = jax.lax.dynamic_update_slice(tokens_flat, prompt.astype(jnp.int32), (0, 0))
+    lp_all = _adjust_logprobs(lp_all, tokens_flat, jnp.asarray(0), jnp.asarray(P), cfg)
+
+    # ---- first step: groups pick sequentially under the diversity penalty
+    div = jnp.zeros((B, V), jnp.float32)
+    first_tokens = []
+    first_scores = []
+    for g in range(G):
+        lp_g = lp_all - cfg.diversity_strength * div
+        s, t = jax.lax.top_k(lp_g, Kg)  # [B, Kg]
+        # scores are the UN-penalized logprobs (fairseq scores_G from beam.step
+        # on penalized lprobs; we keep true model scores so final ranking is
+        # comparable across groups — the penalty only shapes the choice)
+        s = jnp.take_along_axis(lp_all, t, axis=1)
+        first_tokens.append(t)
+        first_scores.append(s)
+        div = div + jnp.sum(jax.nn.one_hot(t, V, dtype=jnp.float32), axis=1)
+    # interleave groups: beam j belongs to group j % G
+    first_tokens = jnp.stack(first_tokens, axis=2).reshape(B, K)  # [B, Kg, G] -> interleaved
+    first_scores = jnp.stack(first_scores, axis=2).reshape(B, K)
+
+    def tile(x):
+        return x if jnp.ndim(x) == 0 else jnp.repeat(x, K, axis=0)
+
+    cache = jax.tree.map(tile, cache)
+    aux_t = jax.tree.map(tile, aux) if aux is not None else None
+
+    alive_tokens = jnp.repeat(tokens_flat, K, axis=0).reshape(B, K, total)
+    alive_tokens = alive_tokens.at[:, :, P].set(first_tokens)
+    alive_scores = first_scores
+
+    fin_tokens = jnp.full((B, K, total), cfg.pad, jnp.int32)
+    fin_scores = jnp.full((B, K), NEG_INF)
+    fin_exists = jnp.zeros((B, K), bool)
+
+    is_eos0 = first_tokens == cfg.eos
+    fin_scores = jnp.where(is_eos0, first_scores, fin_scores)
+    fin_tokens = jnp.where(is_eos0[..., None], alive_tokens, fin_tokens)
+    fin_exists = is_eos0
+    alive_scores = jnp.where(is_eos0, NEG_INF, alive_scores)
+
+    def lp_den(gen_len):
+        return jnp.maximum(gen_len, 1.0) ** cfg.len_penalty
+
+    def cond(state):
+        i, alive_tokens, alive_scores, fin_tokens, fin_scores, fin_exists, cache = state
+        max_gen = total - P
+        best_alive = jnp.max(alive_scores, axis=1) / lp_den(jnp.asarray(max_gen, jnp.float32))
+        worst_fin = jnp.min(jnp.where(fin_exists, fin_scores, NEG_INF), axis=1)
+        all_done = jnp.all(fin_exists, axis=1) & (worst_fin >= best_alive)
+        return (i < total) & ~jnp.all(all_done)
+
+    def body(state):
+        i, alive_tokens, alive_scores, fin_tokens, fin_scores, fin_exists, cache = state
+        flat_tokens = alive_tokens.reshape(B * K, total)
+        last = jax.lax.dynamic_slice(flat_tokens, (0, i - 1), (B * K, 1))
+        logits, new_cache = step(params, last, cache, aux_t)
+        lp = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32) / cfg.temperature)
+        lp = _adjust_logprobs(lp, flat_tokens, i - P, i, cfg)
+        lp = lp.reshape(B, K, V)
+        gen_len = (i + 1 - P).astype(jnp.float32)
+
+        div = jnp.zeros((B, V), jnp.float32)
+        sel_tokens, sel_scores, sel_src = [], [], []
+        eos_scores_g, eos_src_g, eos_tok_mask = [], [], []
+        for g in range(G):
+            idx_g = jnp.arange(g, K, G)  # this group's beam rows
+            lp_g = lp[:, idx_g] - cfg.diversity_strength * div[:, None, :]
+            cand = alive_scores[:, idx_g, None] + lp_g  # [B, Kg, V]
+            cand_true = alive_scores[:, idx_g, None] + lp[:, idx_g]
+            top_pen, top_idx = jax.lax.top_k(cand.reshape(B, Kg * V), 2 * Kg)
+            beam_g = top_idx // V  # within group
+            tok_g = top_idx % V
+            true_scores = jnp.take_along_axis(
+                cand_true.reshape(B, Kg * V), top_idx, axis=1)
+            src = idx_g[beam_g]  # global beam row
+            is_eos = tok_g == cfg.eos
+            # finalize this group's eos candidates into the SHARED pool
+            eos_scores_g.append(jnp.where(is_eos, true_scores / lp_den(gen_len), NEG_INF))
+            eos_src_g.append((src, tok_g))
+            # alive: top-Kg non-eos by PENALIZED score (the diversity choice)
+            alive_pen = jnp.where(is_eos, NEG_INF, top_pen)
+            _, sel = jax.lax.top_k(alive_pen, Kg)
+            sel_tok = jnp.take_along_axis(tok_g, sel, axis=1)
+            sel_tokens.append(sel_tok)
+            sel_scores.append(jnp.take_along_axis(true_scores, sel, axis=1))
+            sel_src.append(jnp.take_along_axis(src, sel, axis=1))
+            div = div + jnp.sum(jax.nn.one_hot(sel_tok, V, dtype=jnp.float32), axis=1)
+
+        # ---- finalized pool update (shared across groups) -----------------
+        cat_eos_scores = jnp.concatenate(eos_scores_g, axis=1)  # [B, 2K]
+        cat_src = jnp.concatenate([s for s, _ in eos_src_g], axis=1)
+        cat_tok = jnp.concatenate([t for _, t in eos_src_g], axis=1)
+        cand_rows = jnp.take_along_axis(alive_tokens, cat_src[..., None], axis=1)
+        cand_rows = jax.lax.dynamic_update_slice(
+            cand_rows, cat_tok[..., None].astype(jnp.int32), (0, 0, i))
+        all_fin_scores = jnp.concatenate([fin_scores, cat_eos_scores], axis=1)
+        all_fin_tokens = jnp.concatenate([fin_tokens, cand_rows], axis=1)
+        all_fin_exists = jnp.concatenate(
+            [fin_exists, cat_eos_scores > NEG_INF / 2], axis=1)
+        keep_scores, keep_idx = jax.lax.top_k(
+            jnp.where(all_fin_exists, all_fin_scores, NEG_INF), K)
+        fin_tokens = jnp.take_along_axis(all_fin_tokens, keep_idx[..., None], axis=1)
+        fin_scores = keep_scores
+        fin_exists = jnp.take_along_axis(all_fin_exists, keep_idx, axis=1)
+
+        # ---- interleave groups back into the global beam layout -----------
+        new_tok = jnp.stack(sel_tokens, axis=2).reshape(B, K)  # [B, Kg, G]
+        new_scores = jnp.stack(sel_scores, axis=2).reshape(B, K)
+        src_beam = jnp.stack(sel_src, axis=2).reshape(B, K)
+        new_tokens = jnp.take_along_axis(alive_tokens, src_beam[..., None], axis=1)
+        new_tokens = jax.lax.dynamic_update_slice(
+            new_tokens, new_tok[..., None].astype(jnp.int32), (0, 0, i))
+        new_cache = _gather_beams(new_cache, src_beam, B, K)
+        return (i + 1, new_tokens, new_scores, fin_tokens, fin_scores, fin_exists, new_cache)
+
+    state = (jnp.asarray(P + 1), alive_tokens, alive_scores,
+             fin_tokens, fin_scores, fin_exists, cache)
+    (i, alive_tokens, alive_scores, fin_tokens, fin_scores, fin_exists, _) = (
+        jax.lax.while_loop(cond, body, state))
+
+    gen_len = jnp.asarray(total - P, jnp.float32)
+    alive_fin = alive_scores / lp_den(gen_len)
+    all_scores = jnp.concatenate(
+        [jnp.where(fin_exists, fin_scores, NEG_INF), alive_fin], axis=1)
+    all_tokens = jnp.concatenate([fin_tokens, alive_tokens], axis=1)
+    out_scores, idx = jax.lax.top_k(all_scores, K)
+    out_tokens = jnp.take_along_axis(all_tokens, idx[..., None], axis=1)
+    return out_tokens, out_scores
+
+
+# --------------------------------------------------------------------------- #
+# Lexically constrained beam search (ordered constraints; Post & Vilar 2018)
+# --------------------------------------------------------------------------- #
+
+
+def pack_constraints(batch_phrases, pad: int = 1):
+    """Pack per-sentence ordered constraint phrases into device arrays.
+
+    batch_phrases: list (len B) of lists of phrases (each a list of ints).
+    Returns (constraints [B, C], phrase_start [B, C], counts [B]):
+    constraints = flat ordered tokens padded with `pad`; phrase_start[b, j] =
+    flat index where the phrase containing token j begins (the automaton's
+    reset target); counts[b] = total constraint tokens."""
+    import numpy as np
+
+    B = len(batch_phrases)
+    C = max((sum(len(p) for p in ph) for ph in batch_phrases), default=1) or 1
+    out = np.full((B, C), pad, np.int32)
+    starts = np.zeros((B, C), np.int32)
+    counts = np.zeros((B,), np.int32)
+    for b, phrases in enumerate(batch_phrases):
+        j = 0
+        for ph in phrases:
+            s = j
+            for t in ph:
+                out[b, j] = t
+                starts[b, j] = s
+                j += 1
+        counts[b] = j
+    return jnp.asarray(out), jnp.asarray(starts), jnp.asarray(counts)
+
+
+def _advance_progress(progress, tok, constraints, phrase_start, counts):
+    """Ordered-constraint automaton step. progress [B, K], tok [B, K].
+
+    If tok matches the next constraint token, progress advances; otherwise a
+    partially-matched phrase is abandoned (reset to its start) and the token
+    is retried against the phrase's first token (fairseq
+    LexicallyConstrainedBeamSearch's ordered state, fairseq/search.py;
+    greedy matching — phrases that overlap themselves may need KMP-style
+    backtracking this automaton doesn't do, same as the reference)."""
+    B, K = progress.shape
+    pj = jnp.clip(progress, 0, constraints.shape[1] - 1)
+    nxt = jnp.take_along_axis(constraints[:, None, :].repeat(K, 1), pj[..., None], axis=2)[..., 0]
+    done = progress >= counts[:, None]
+    adv = (~done) & (tok == nxt)
+    # mismatch: reset to current phrase start, then retry the token there
+    reset = jnp.take_along_axis(phrase_start[:, None, :].repeat(K, 1), pj[..., None], axis=2)[..., 0]
+    rj = jnp.clip(reset, 0, constraints.shape[1] - 1)
+    first = jnp.take_along_axis(constraints[:, None, :].repeat(K, 1), rj[..., None], axis=2)[..., 0]
+    retry = (~done) & (~adv) & (tok == first)
+    new_p = jnp.where(adv, progress + 1, jnp.where(done, progress, jnp.where(retry, reset + 1, reset)))
+    return new_p
+
+
+def constrained_beam_generate(
+    cfg: GenerationConfig,
+    prefill: Callable,
+    step: Callable,
+    params: Any,
+    prompt: jax.Array,  # [B, P]
+    constraints: jax.Array,  # [B, C] flat ordered constraint tokens (padded)
+    phrase_start: jax.Array,  # [B, C] reset target per token (pack_constraints)
+    counts: jax.Array,  # [B] number of real constraint tokens
+    aux: Any = None,
+):
+    """Lexically constrained beam search with ordered constraints (fairseq
+    search.LexicallyConstrainedBeamSearch / Post & Vilar 2018 DBA,
+    exercised by trocr/task.py:222-238).
+
+    Mechanics (static-shape re-design of dynamic beam allocation):
+    - each beam tracks `progress` = constraint tokens consumed (in order);
+      a candidate's bank is its new progress value
+    - candidates = top-2K of K*V PLUS each beam's forced "advance" token
+      (the next unmet constraint token), so constraint progress is always
+      on the candidate list even when the model dislikes it
+    - the K survivors are chosen round-robin across banks (every bank's
+      best candidate outranks any bank's second-best), which is the DBA
+      guarantee that constrained partial hypotheses are never starved
+    - eos is blocked until a beam has met ALL constraints, so finalized
+      hypotheses always satisfy the constraints
+
+    Returns (tokens [B, K, total], scores [B, K], met [B, K] bool)."""
+    B, P = prompt.shape
+    K = cfg.beam_size
+    total = P + cfg.max_new_tokens
+    V = cfg.vocab_size
+    C = constraints.shape[1]
+    assert V > 0
+
+    logits, cache = prefill(params, prompt, aux)
+    lp0 = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32) / cfg.temperature)
+    tokens_flat = jnp.full((B, total), cfg.pad, jnp.int32)
+    tokens_flat = jax.lax.dynamic_update_slice(tokens_flat, prompt.astype(jnp.int32), (0, 0))
+    lp0 = _adjust_logprobs(lp0, tokens_flat, jnp.asarray(0), jnp.asarray(P), cfg)
+    # eos until constraints met: only legal if there are no constraints
+    lp0 = lp0.at[:, cfg.eos].set(
+        jnp.where(counts > 0, NEG_INF, lp0[:, cfg.eos]))
+
+    k0 = min(K, V)
+    first_scores, first_tokens = jax.lax.top_k(lp0, k0)
+    if k0 < K:
+        first_scores = jnp.concatenate(
+            [first_scores, jnp.full((B, K - k0), NEG_INF)], axis=1)
+        first_tokens = jnp.concatenate(
+            [first_tokens, jnp.full((B, K - k0), cfg.pad, first_tokens.dtype)], axis=1)
+    # ensure the first constraint token is among the initial beams (DBA seed)
+    adv0 = constraints[:, 0]
+    have = jnp.any(first_tokens == adv0[:, None], axis=1) | (counts == 0)
+    forced_score = jnp.take_along_axis(lp0, adv0[:, None], axis=1)[:, 0]
+    first_tokens = first_tokens.at[:, K - 1].set(
+        jnp.where(have, first_tokens[:, K - 1], adv0))
+    first_scores = first_scores.at[:, K - 1].set(
+        jnp.where(have, first_scores[:, K - 1], forced_score))
+
+    progress = _advance_progress(
+        jnp.zeros((B, K), jnp.int32), first_tokens, constraints, phrase_start, counts)
+
+    def tile(x):
+        return x if jnp.ndim(x) == 0 else jnp.repeat(x, K, axis=0)
+
+    cache = jax.tree.map(tile, cache)
+    aux_t = jax.tree.map(tile, aux) if aux is not None else None
+
+    alive_tokens = jnp.repeat(tokens_flat, K, axis=0).reshape(B, K, total)
+    alive_tokens = alive_tokens.at[:, :, P].set(first_tokens)
+    alive_scores = first_scores
+
+    fin_tokens = jnp.full((B, K, total), cfg.pad, jnp.int32)
+    fin_scores = jnp.full((B, K), NEG_INF)
+    fin_exists = jnp.zeros((B, K), bool)
+
+    is_eos0 = (first_tokens == cfg.eos) & (counts == 0)[:, None]
+    fin_scores = jnp.where(is_eos0, first_scores, fin_scores)
+    fin_tokens = jnp.where(is_eos0[..., None], alive_tokens, fin_tokens)
+    fin_exists = is_eos0
+    alive_scores = jnp.where(is_eos0, NEG_INF, alive_scores)
+
+    def lp_den(gen_len):
+        return jnp.maximum(gen_len, 1.0) ** cfg.len_penalty
+
+    def cond(state):
+        (i, alive_tokens, alive_scores, progress,
+         fin_tokens, fin_scores, fin_exists, cache) = state
+        max_gen = total - P
+        best_alive = jnp.max(alive_scores, axis=1) / lp_den(jnp.asarray(max_gen, jnp.float32))
+        worst_fin = jnp.min(jnp.where(fin_exists, fin_scores, NEG_INF), axis=1)
+        all_done = jnp.all(fin_exists, axis=1) & (worst_fin >= best_alive)
+        return (i < total) & ~jnp.all(all_done)
+
+    def body(state):
+        (i, alive_tokens, alive_scores, progress,
+         fin_tokens, fin_scores, fin_exists, cache) = state
+        flat_tokens = alive_tokens.reshape(B * K, total)
+        last = jax.lax.dynamic_slice(flat_tokens, (0, i - 1), (B * K, 1))
+        logits, new_cache = step(params, last, cache, aux_t)
+        lp = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32) / cfg.temperature)
+        lp = _adjust_logprobs(lp, flat_tokens, i - P, i, cfg)
+        lp = lp.reshape(B, K, V)
+        met = progress >= counts[:, None]  # [B, K]
+        # eos blocked until all constraints met
+        lp = lp.at[:, :, cfg.eos].set(
+            jnp.where(met, lp[:, :, cfg.eos], NEG_INF))
+
+        cand = alive_scores[:, :, None] + lp  # [B, K, V]
+        top_scores, top_idx = jax.lax.top_k(cand.reshape(B, K * V), 2 * K)
+        beam_idx = top_idx // V
+        tok_idx = top_idx % V
+
+        # forced advance candidates: each beam's next unmet constraint token
+        pj = jnp.clip(progress, 0, C - 1)
+        adv_tok = jnp.take_along_axis(
+            constraints[:, None, :].repeat(K, 1), pj[..., None], axis=2)[..., 0]
+        adv_scores = alive_scores + jnp.take_along_axis(lp, adv_tok[..., None], axis=2)[..., 0]
+        # drop if met, dead, or already present in the top-2K for that beam
+        dup = jnp.any(
+            (beam_idx[:, None, :] == jnp.arange(K)[None, :, None])
+            & (tok_idx[:, None, :] == adv_tok[..., None]), axis=2)
+        adv_valid = (~met) & (~dup) & (alive_scores > NEG_INF / 2)
+        adv_scores = jnp.where(adv_valid, adv_scores, NEG_INF)
+
+        all_scores = jnp.concatenate([top_scores, adv_scores], axis=1)  # [B, 3K]
+        all_beam = jnp.concatenate([beam_idx, jnp.tile(jnp.arange(K)[None], (B, 1))], axis=1)
+        all_tok = jnp.concatenate([tok_idx, adv_tok], axis=1)
+
+        # progress of every candidate
+        src_prog = jnp.take_along_axis(progress, all_beam, axis=1)
+        cand_prog = _advance_progress(src_prog, all_tok, constraints, phrase_start, counts)
+
+        is_eos = (all_tok == cfg.eos) & (all_scores > NEG_INF / 2)
+        gen_len = (i + 1 - P).astype(jnp.float32)
+
+        cand_rows = jnp.take_along_axis(alive_tokens, all_beam[..., None], axis=1)
+        cand_rows = jax.lax.dynamic_update_slice(
+            cand_rows, all_tok[..., None].astype(jnp.int32), (0, 0, i))
+
+        # ---- finalize eos candidates --------------------------------------
+        eos_scores = jnp.where(is_eos, all_scores / lp_den(gen_len), NEG_INF)
+        pool_scores = jnp.concatenate([fin_scores, eos_scores], axis=1)
+        pool_tokens = jnp.concatenate([fin_tokens, cand_rows], axis=1)
+        pool_exists = jnp.concatenate([fin_exists, is_eos], axis=1)
+        keep_scores, keep_idx = jax.lax.top_k(
+            jnp.where(pool_exists, pool_scores, NEG_INF), K)
+        fin_tokens = jnp.take_along_axis(pool_tokens, keep_idx[..., None], axis=1)
+        fin_scores = keep_scores
+        fin_exists = jnp.take_along_axis(pool_exists, keep_idx, axis=1)
+
+        # ---- bank-allocated survivor selection ----------------------------
+        M = all_scores.shape[1]
+        alive_cand = jnp.where(is_eos, NEG_INF, all_scores)  # [B, M]
+        valid = alive_cand > NEG_INF / 2
+        # in-bank rank: candidates in the same bank with a strictly better
+        # (score, index) key; round-robin => every bank's best survives first
+        same_bank = cand_prog[:, :, None] == cand_prog[:, None, :]  # [B, M, M]
+        better = (alive_cand[:, None, :] > alive_cand[:, :, None]) | (
+            (alive_cand[:, None, :] == alive_cand[:, :, None])
+            & (jnp.arange(M)[None, None, :] < jnp.arange(M)[None, :, None]))
+        rank_in_bank = jnp.sum(same_bank & better & valid[:, None, :], axis=2)
+        # order: valid first, then by (rank_in_bank asc, score desc)
+        key = (
+            jnp.where(valid, 0.0, 1e12)
+            + rank_in_bank.astype(jnp.float32) * 1e6
+            - jnp.clip(alive_cand, NEG_INF, 0.0) * 1e-3
+        )
+        _, sel = jax.lax.top_k(-key, K)  # K smallest keys
+        new_scores = jnp.take_along_axis(alive_cand, sel, axis=1)
+        new_tokens = jnp.take_along_axis(cand_rows, sel[..., None], axis=1)
+        new_prog = jnp.take_along_axis(cand_prog, sel, axis=1)
+        src_beam = jnp.take_along_axis(all_beam, sel, axis=1)
+        new_cache = _gather_beams(new_cache, src_beam, B, K)
+        return (i + 1, new_tokens, new_scores, new_prog,
+                fin_tokens, fin_scores, fin_exists, new_cache)
+
+    state = (jnp.asarray(P + 1), alive_tokens, alive_scores, progress,
+             fin_tokens, fin_scores, fin_exists, cache)
+    (i, alive_tokens, alive_scores, progress,
+     fin_tokens, fin_scores, fin_exists, _) = jax.lax.while_loop(cond, body, state)
+
+    # finalized hypotheses always met the constraints (eos gating); alive
+    # leftovers are ranked after them, unmet ones last (fairseq finalizes
+    # unmet hypotheses at max-len but sorts them below met ones)
+    gen_len = jnp.asarray(total - P, jnp.float32)
+    met_alive = progress >= counts[:, None]
+    alive_fin = alive_scores / lp_den(gen_len) + jnp.where(met_alive, 0.0, NEG_INF / 2)
+    all_scores = jnp.concatenate(
+        [jnp.where(fin_exists, fin_scores, NEG_INF), alive_fin], axis=1)
+    all_tokens = jnp.concatenate([fin_tokens, alive_tokens], axis=1)
+    all_met = jnp.concatenate([fin_exists, met_alive], axis=1)
+    out_scores, idx = jax.lax.top_k(all_scores, K)
+    out_tokens = jnp.take_along_axis(all_tokens, idx[..., None], axis=1)
+    out_met = jnp.take_along_axis(all_met, idx, axis=1)
+    return out_tokens, out_scores, out_met
 
 
 # --------------------------------------------------------------------------- #
