@@ -1,0 +1,248 @@
+"""Training-step MFU benchmark on the real chip (VERDICT round-2 item #1).
+
+Measures the framework's OTHER half — the pretraining hot path the reference
+runs through fairseq Trainer.train_step (kosmos-2/fairseq/fairseq/trainer.py:782,
+flagship workload kosmos-2/train.sh:1-52): full fwd + bwd + optimizer update,
+on-chip, with activation remat and the Pallas flash backward on the hot path.
+
+Workloads:
+  gpt1p3b  — the 1.3B UniGPT decoder (kosmos-2 text path: E=2048, L=24, H=32,
+             ffn=8192, V=65037) at T=2048 bf16, remat, xPos, tied embeddings.
+             Microbatch grad accumulation (update_freq, trainer.py:803) keeps
+             the 65k-vocab fp32 logits off the peak-memory path.
+  beit_b   — BEiT-B fine-tune step at 224^2 (engine_for_finetuning.py:35):
+             mixup-style soft targets, AdamW, bf16 compute / fp32 params.
+
+MFU convention (PaLM appendix B): model FLOPs = 6*N_mm*tokens
++ 12*L*E*T*tokens, where N_mm counts matmul parameters only (embedding
+lookups excluded, tied output projection counted once). Remat recompute is
+NOT counted as useful FLOPs — it shows up as lower MFU, as it should.
+
+The axon tunnel adds ~30 ms per synced host call; steps are timed
+back-to-back with one trailing block_until_ready and the per-step dispatch
+overhead is amortized over --steps.
+"""
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# v5e (TPU v5 lite): 197 TFLOP/s bf16 peak per chip
+PEAK_BF16 = {"v5e": 197e12, "v5litepod": 197e12, "v5 lite": 197e12,
+             "v4": 275e12, "v5p": 459e12, "v6e": 918e12}
+
+
+def detect_peak() -> float:
+    kind = jax.devices()[0].device_kind.lower()
+    for k, v in PEAK_BF16.items():
+        if k in kind:
+            return v
+    return 197e12
+
+
+def count_matmul_params(params) -> int:
+    """Matmul parameters: every >=2D kernel (embedding tables excluded by
+    name; the tied output projection is added back by the caller)."""
+    n = 0
+    for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+        keys = "/".join(getattr(p, "key", str(p)) for p in path)
+        if leaf.ndim >= 2 and "embed" not in keys and "embedding" not in keys:
+            n += leaf.size
+    return n
+
+
+def transformer_train_flops(n_mm: int, tokens: int, L: int, E: int, T: int) -> float:
+    return 6.0 * n_mm * tokens + 12.0 * L * E * T * tokens
+
+
+TUNNEL_S = 0.030  # axon host<->chip round-trip constant (see kosmos_ttft.py)
+
+
+def make_multi_step(step_fn, inner):
+    """lax.scan `inner` train steps inside ONE jitted program: amortizes the
+    tunnel round-trip AND defeats async-dispatch timing artifacts — the
+    scalar fetch of the last loss can't complete before every step ran."""
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def multi(state, batch, rng):
+        def body(carry, r):
+            st, _ = carry
+            st, m = step_fn(st, batch, r)
+            return (st, m["loss"]), None
+        (state, last_loss), _ = jax.lax.scan(
+            body, (state, jnp.zeros(())), jax.random.split(rng, inner))
+        return state, last_loss
+
+    return multi
+
+
+def time_multi(multi, state, batch, rng, inner, reps):
+    state, loss = multi(state, batch, rng)  # compile + warmup
+    f = float(loss)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        state, loss = multi(state, batch, rng)
+        f = float(loss)  # scalar D2H fetch = hard sync
+        times.append((time.perf_counter() - t0 - TUNNEL_S) / inner)
+    return statistics.median(times), times, f
+
+
+def bench_gpt(args):
+    from unilm_tpu.models.kosmos import UniGPT, UniGPTConfig
+    from unilm_tpu.runtime.train import TrainState, cross_entropy_loss, make_train_step
+    import optax
+
+    T, mb, acc = args.seq, args.micro_batch, args.accum
+    cfg = UniGPTConfig(dtype=jnp.bfloat16, use_flash=True,
+                       remat=not args.no_remat,
+                       image_tower=None, max_positions=max(T + 2, 2050))
+    model = UniGPT(cfg)
+    tokens = jnp.ones((mb, T), jnp.int32)
+
+    t0 = time.time()
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), tokens)["params"]
+    jax.block_until_ready(params)
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    n_mm = count_matmul_params(params) + cfg.vocab_size * cfg.embed_dim
+    print(f"init: {time.time()-t0:.1f}s  params={n_params/1e9:.2f}B "
+          f"(matmul {n_mm/1e9:.2f}B)", flush=True)
+
+    # Adafactor: the 1.3B Adam fp32 state (21 GB) exceeds one v5e's HBM —
+    # multi-chip training shards it (fsdp axis, parallel/sharding.py); the
+    # single-chip measurement uses fairseq's other first-class optimizer
+    # (fairseq/optim/adafactor.py) whose factored state fits.
+    tx = optax.adafactor(1e-4) if args.optimizer == "adafactor" else \
+        optax.adamw(1e-4, b1=0.9, b2=0.98, weight_decay=0.01)
+
+    def loss_fn(p, batch, rng):
+        logits = model.apply({"params": p}, batch["tokens"], deterministic=True)
+        loss, denom = cross_entropy_loss(
+            logits[:, :-1], batch["tokens"][:, 1:],
+            mask=jnp.ones_like(batch["tokens"][:, 1:], jnp.float32))
+        return loss / denom, {"ntok": denom}
+
+    step_fn = make_train_step(loss_fn, tx, clip_grad_norm=1.0, microbatches=acc)
+    rng = jax.random.PRNGKey(1)
+    state = jax.jit(lambda p: TrainState.create(p, tx), donate_argnums=(0,))(params)
+    jax.block_until_ready(state.opt_state)
+
+    data = np.random.RandomState(0).randint(3, cfg.vocab_size - 1, size=(acc, mb, T))
+    batch = {"tokens": jnp.asarray(data if acc > 1 else data[0], jnp.int32)}
+
+    multi = make_multi_step(step_fn, args.inner)
+    t0 = time.time()
+    med, times, loss = time_multi(multi, state, batch, rng, args.inner, args.steps)
+    print(f"compile+measure: {time.time()-t0:.1f}s", flush=True)
+    tokens_step = mb * acc * (T - 1)
+    flops = transformer_train_flops(n_mm, mb * acc * T, cfg.num_layers,
+                                    cfg.embed_dim, T)
+    peak = detect_peak()
+    mfu = flops / med / peak
+    return {
+        "workload": "gpt1p3b_train", "batch": mb * acc, "seq": T,
+        "microbatches": acc, "optimizer": args.optimizer,
+        "step_ms": round(med * 1e3, 1),
+        "tokens_per_s": round(tokens_step / med),
+        "model_tflops_per_s": round(flops / med / 1e12, 1),
+        "mfu": round(mfu, 3), "loss": round(loss, 3),
+        "times_ms": [round(t * 1e3, 1) for t in sorted(times)],
+    }
+
+
+def bench_beit(args):
+    import optax
+
+    from unilm_tpu.models.beit import BeitForImageClassification, beit_base_patch16_224
+    from unilm_tpu.runtime.train import TrainState, make_train_step
+
+    cfg = beit_base_patch16_224(num_classes=1000, dtype=jnp.bfloat16,
+                                drop_path_rate=0.1)
+    model = BeitForImageClassification(cfg)
+    B = args.batch
+    imgs = jnp.ones((B, 224, 224, 3), jnp.bfloat16)
+    t0 = time.time()
+    params = jax.jit(lambda r: model.init(r, imgs, True))(
+        jax.random.PRNGKey(0))["params"]
+    jax.block_until_ready(params)
+    n_mm = count_matmul_params(params)
+    print(f"init: {time.time()-t0:.1f}s  params="
+          f"{sum(x.size for x in jax.tree.leaves(params))/1e6:.1f}M", flush=True)
+
+    tx = optax.adamw(1e-3, weight_decay=0.05)
+
+    def loss_fn(p, batch, rng):
+        logits = model.apply({"params": p}, batch["x"], False,
+                             rngs={"dropout": rng})
+        # mixup produces soft targets (engine_for_finetuning.py:54)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32))
+        loss = -jnp.mean(jnp.sum(batch["y"] * logp, axis=-1))
+        return loss, {}
+
+    step_fn = make_train_step(loss_fn, tx, ema_decay=0.9999,
+                              clip_grad_norm=3.0)
+    state = jax.jit(lambda p: TrainState.create(p, tx, ema=True),
+                    donate_argnums=(0,))(params)
+    rng0 = np.random.RandomState(0)
+    x = jnp.asarray(rng0.rand(B, 224, 224, 3), jnp.bfloat16)
+    y = jax.nn.one_hot(jnp.asarray(rng0.randint(0, 1000, B)), 1000)
+    batch = {"x": x, "y": y}
+    rng = jax.random.PRNGKey(2)
+
+    multi = make_multi_step(step_fn, args.inner)
+    t0 = time.time()
+    med, times, loss = time_multi(multi, state, batch, rng, args.inner, args.steps)
+    print(f"compile+measure: {time.time()-t0:.1f}s", flush=True)
+    T = (224 // 16) ** 2 + 1
+    tokens = B * T
+    flops = transformer_train_flops(n_mm, tokens, cfg.num_layers,
+                                    cfg.embed_dim, T)
+    peak = detect_peak()
+    return {
+        "workload": "beit_b_finetune", "batch": B, "seq": T,
+        "step_ms": round(med * 1e3, 1),
+        "images_per_s": round(B / med),
+        "model_tflops_per_s": round(flops / med / 1e12, 1),
+        "mfu": round(flops / med / peak, 3), "loss": round(loss, 3),
+        "times_ms": [round(t * 1e3, 1) for t in sorted(times)],
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--workload", choices=["gpt1p3b", "beit_b", "all"],
+                   default="all")
+    p.add_argument("--seq", type=int, default=2048)
+    p.add_argument("--micro_batch", type=int, default=2)
+    p.add_argument("--accum", type=int, default=4)
+    p.add_argument("--batch", type=int, default=256)  # beit
+    p.add_argument("--steps", type=int, default=8)
+    p.add_argument("--inner", type=int, default=4)  # steps per jitted scan
+    p.add_argument("--optimizer", default="adafactor",
+                   choices=["adafactor", "adamw"])
+    p.add_argument("--no_remat", action="store_true",
+                   help="store activations instead of rematerializing")
+    args = p.parse_args()
+    print(f"device: {jax.devices()[0].device_kind}  "
+          f"peak bf16 = {detect_peak()/1e12:.0f} TF/s", flush=True)
+    results = []
+    if args.workload in ("gpt1p3b", "all"):
+        results.append(bench_gpt(args))
+        print(json.dumps(results[-1]), flush=True)
+    if args.workload in ("beit_b", "all"):
+        results.append(bench_beit(args))
+        print(json.dumps(results[-1]), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -9,6 +9,10 @@ COCO AP (scoring_detection.py).
   python -m unilm_tpu.cli.train_detection --synthetic --steps 200 --eval
   python -m unilm_tpu.cli.train_detection --train-json coco.json \
       --image-root imgs/ --num-classes 5 --preset dit
+  # two-stage Cascade R-CNN head (reference parity; loads published
+  # detectron2 DiT checkpoints via convert/detection.py):
+  python -m unilm_tpu.cli.train_detection --head rcnn --checkpoint dit_cascade.pth \
+      --val-json publaynet_val.json --image-root imgs/ --num-classes 5 --eval --steps 0
 """
 
 from __future__ import annotations
@@ -49,9 +53,33 @@ def build_config(args):
     return cfg
 
 
+def build_rcnn(args):
+    from unilm_tpu.models.rcnn import CascadeRCNN, RCNNConfig, cascade_dit_base
+    from unilm_tpu.models.beit import BeitConfig
+
+    if args.tiny:
+        beit = BeitConfig(
+            img_size=args.img_size, patch_size=16, embed_dim=32, num_layers=4,
+            num_heads=2, ffn_dim=64, use_abs_pos_emb=True,
+            use_rel_pos_bias=False, use_mean_pooling=False, num_classes=0)
+        cfg = RCNNConfig(
+            beit=beit, out_indices=(0, 1, 2, 3), fpn_channels=16,
+            num_classes=args.num_classes, rpn_pre_nms_topk=64,
+            rpn_post_nms_topk=32, fc_dim=32, detections_per_image=16)
+    else:
+        cfg = cascade_dit_base(img_size=args.img_size,
+                               num_classes=args.num_classes)
+    return cfg, CascadeRCNN(cfg)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--preset", choices=["dit", "layoutlmv3"], default="dit")
+    p.add_argument("--head", choices=["fcos", "rcnn"], default="fcos",
+                   help="fcos = TPU-first single-stage; rcnn = reference-"
+                        "parity Cascade/Mask R-CNN (models/rcnn.py)")
+    p.add_argument("--checkpoint",
+                   help="detectron2 .pth to convert (rcnn head only)")
     p.add_argument("--train-json")
     p.add_argument("--val-json")
     p.add_argument("--image-root", default="")
@@ -68,8 +96,11 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
-    cfg = build_config(args)
-    model = FCOSDetector(cfg)
+    if args.head == "rcnn":
+        cfg, model = build_rcnn(args)
+    else:
+        cfg = build_config(args)
+        model = FCOSDetector(cfg)
 
     if args.synthetic:
         train_data = synthetic_detection_dataset(
@@ -90,18 +121,34 @@ def main(argv=None):
         )
 
     sample = pad_batch(train_data[: args.batch_size], args.max_boxes)
-    params = jax.jit(model.init)(
-        jax.random.PRNGKey(args.seed), jnp.asarray(sample["images"])
-    )["params"]
+    if args.head == "rcnn" and args.checkpoint:
+        import torch
+
+        from unilm_tpu.convert.detection import convert_rcnn
+
+        sd = torch.load(args.checkpoint, map_location="cpu", weights_only=True)
+        params = jax.tree.map(jnp.asarray, convert_rcnn(sd, cfg))
+        print(f"loaded detectron2 checkpoint {args.checkpoint}")
+    else:
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(args.seed), jnp.asarray(sample["images"])
+        )["params"]
 
     tx = optax.adamw(args.lr)
 
-    def loss_fn(params, batch, rng):
-        out = model.apply({"params": params}, batch["images"])
-        loss, metrics = fcos_loss(
-            out, batch["boxes"], batch["labels"], batch["valid"], cfg
-        )
-        return loss, metrics
+    if args.head == "rcnn":
+        from unilm_tpu.models.rcnn import rcnn_loss
+
+        def loss_fn(params, batch, rng):
+            return rcnn_loss(model, params, batch["images"], batch["boxes"],
+                             batch["labels"], batch["valid"], rng)
+    else:
+        def loss_fn(params, batch, rng):
+            out = model.apply({"params": params}, batch["images"])
+            loss, metrics = fcos_loss(
+                out, batch["boxes"], batch["labels"], batch["valid"], cfg
+            )
+            return loss, metrics
 
     step = jax.jit(make_train_step(loss_fn, tx, clip_grad_norm=1.0))
     state = TrainState.create(params, tx)
@@ -122,24 +169,29 @@ def main(argv=None):
         jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
         state, metrics = step(state, jbatch, jax.random.PRNGKey(i))
         if i % 20 == 0 or i == args.steps - 1:
-            print(
-                f"step {i}: loss {float(metrics['loss']):.4f} "
-                f"cls {float(metrics['cls_loss']):.4f} "
-                f"box {float(metrics['box_loss']):.4f} "
-                f"pos {float(metrics['num_pos']):.0f}"
-            )
+            extra = " ".join(
+                f"{k} {float(v):.4f}" for k, v in sorted(metrics.items())
+                if k not in ("loss", "grad_norm"))
+            print(f"step {i}: loss {float(metrics['loss']):.4f} {extra}")
 
     if args.eval:
-        result = evaluate(model, state.params, val_data, args)
+        result = evaluate(model, state.params, val_data, args,
+                          head=args.head)
         print(json.dumps({k: round(v, 4) for k, v in result.items()}))
     return state
 
 
-def evaluate(model, params, val_data, args):
-    @jax.jit
-    def infer(params, images):
-        out = model.apply({"params": params}, images)
-        return decode_detections(out, img_size=float(args.img_size))
+def evaluate(model, params, val_data, args, head="fcos"):
+    if head == "rcnn":
+        @jax.jit
+        def infer(params, images):
+            out = model.apply({"params": params}, images)
+            return out["boxes"], out["scores"], out["classes"], out["valid"]
+    else:
+        @jax.jit
+        def infer(params, images):
+            out = model.apply({"params": params}, images)
+            return decode_detections(out, img_size=float(args.img_size))
 
     preds, gts = [], []
     for batch in batches(

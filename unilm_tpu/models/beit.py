@@ -125,6 +125,10 @@ class BeitBackbone(nn.Module):
 
     cfg: BeitConfig
     use_mask_token: bool = False
+    # None = follow use_mean_pooling; False = no trailing encoder LN at all
+    # (the ditod detection trunk taps intermediate blocks and has no final
+    # norm, dit/object_detection/ditod/beit.py:440-520)
+    final_norm: Optional[bool] = None
 
     @nn.compact
     def __call__(
@@ -169,7 +173,11 @@ class BeitBackbone(nn.Module):
 
         return Encoder(
             tcfg,
-            final_layer_norm=not cfg.use_mean_pooling,
+            final_layer_norm=(
+                not cfg.use_mean_pooling
+                if self.final_norm is None
+                else self.final_norm
+            ),
             name="encoder",
         )(
             x,
