@@ -105,7 +105,9 @@ def bench_gpt(args):
 
     T, mb, acc = args.seq, args.micro_batch, args.accum
     cfg = UniGPTConfig(dtype=jnp.bfloat16, use_flash=True,
-                       remat=not args.no_remat,
+                       remat=not args.no_remat, remat_policy=args.remat_policy,
+                       param_dtype=(jnp.bfloat16 if args.param_dtype == "bf16"
+                                    else jnp.float32),
                        image_tower=None, max_positions=max(T + 2, 2050))
     model = UniGPT(cfg)
     tokens = jnp.ones((mb, T), jnp.int32)
@@ -232,6 +234,11 @@ def main():
                    choices=["adafactor", "adamw"])
     p.add_argument("--no_remat", action="store_true",
                    help="store activations instead of rematerializing")
+    p.add_argument("--remat_policy", default="full", choices=["full", "dots"],
+                   help="dots = keep matmul outputs, recompute elementwise")
+    p.add_argument("--param_dtype", default="fp32", choices=["fp32", "bf16"],
+                   help="bf16 = fairseq --memory-efficient-fp16 equivalent "
+                        "(params+grads half precision, no fp32 master)")
     args = p.parse_args()
     print(f"device: {jax.devices()[0].device_kind}  "
           f"peak bf16 = {detect_peak()/1e12:.0f} TF/s", flush=True)

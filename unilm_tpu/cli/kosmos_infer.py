@@ -67,7 +67,19 @@ def main(argv=None):
     p.add_argument("--tiny", action="store_true",
                    help="reduced dims (converter tests / smoke runs)")
     args = p.parse_args(argv)
+    infer = build_pipeline(args)
+    text = infer(args.image)
+    if args.task == "ocr":
+        for rec in postprocess_ocr(text):
+            print(rec)
+    else:
+        print(text)
 
+
+def build_pipeline(args):
+    """Load model+checkpoint once; returns infer(image_path) -> decoded text.
+    Used by main (one image) and cli/reproduce_baseline.py (dataset loop —
+    the jit caches make the per-image cost pure compute after image 1)."""
     dtype = jnp.float32 if args.fp32 else (jnp.bfloat16 if args.bf16 else jnp.float32)
     cfg = kosmos2_5(dtype=dtype, latent_query_num=args.num_image_tokens)
     if args.tiny:
@@ -83,12 +95,6 @@ def main(argv=None):
             "use_flash": False,
         })
     model = UniGPT(cfg)
-
-    from PIL import Image
-
-    img = to_numpy(Image.open(args.image))
-    patches = pix2struct_patches(img, max_patches=args.max_patches)[None]
-    patches = jnp.asarray(patches, dtype)
 
     task_id = args.ocr_id if args.task == "ocr" else args.md_id
     ids, img_mask, segs = build_prompt(
@@ -109,37 +115,42 @@ def main(argv=None):
         params = convert_unigpt(sd, cfg)
     else:
         print("WARNING: no checkpoint given; running with random weights")
+        dummy = jnp.zeros((1, 4, 2 + cfg.pix2struct.patch_dim), dtype)
         params = jax.jit(
-            lambda r: model.init(r, tokens, patches, img_mask, segs)["params"]
+            lambda r: model.init(r, tokens, dummy, img_mask, segs)["params"]
         )(jax.random.PRNGKey(0))
 
-    # prefill consumes precomputed image features (TTFT path: tower + splice)
-    img_feats = model.apply({"params": params}, patches, method=model.encode_image)
     cache_size = tokens.shape[1] + args.max_new_tokens
     prefill, step = make_unigpt_generate_fns(model, cache_size=cache_size)
     gcfg = GenerationConfig(
         beam_size=args.beam, max_new_tokens=args.max_new_tokens,
         pad=PAD, eos=EOS, vocab_size=cfg.vocab_size,
     )
-    out, _ = generate(
-        gcfg, prefill, step, params, tokens, aux=(img_feats, img_mask, segs)
-    )
-    seq = np.asarray(out[0, 0] if out.ndim == 3 else out[0])
-    gen = [int(t) for t in seq[tokens.shape[1]:] if t not in (PAD, EOS)]
 
-    try:
-        import tiktoken
+    def infer(image_path: str) -> str:
+        from PIL import Image
 
-        enc = tiktoken.get_encoding("cl100k_base")
-        text = enc.decode([t - TIKTOKEN_OFFSET for t in gen if t >= TIKTOKEN_OFFSET])
-    except Exception:
-        text = " ".join(map(str, gen))
+        img = to_numpy(Image.open(image_path))
+        patches = jnp.asarray(
+            pix2struct_patches(img, max_patches=args.max_patches)[None], dtype)
+        # prefill consumes precomputed image features (TTFT path: tower+splice)
+        img_feats = model.apply(
+            {"params": params}, patches, method=model.encode_image)
+        out, _ = generate(
+            gcfg, prefill, step, params, tokens, aux=(img_feats, img_mask, segs)
+        )
+        seq = np.asarray(out[0, 0] if out.ndim == 3 else out[0])
+        gen = [int(t) for t in seq[tokens.shape[1]:] if t not in (PAD, EOS)]
+        try:
+            import tiktoken
 
-    if args.task == "ocr":
-        for rec in postprocess_ocr(text):
-            print(rec)
-    else:
-        print(text)
+            enc = tiktoken.get_encoding("cl100k_base")
+            return enc.decode(
+                [t - TIKTOKEN_OFFSET for t in gen if t >= TIKTOKEN_OFFSET])
+        except Exception:
+            return " ".join(map(str, gen))
+
+    return infer
 
 
 if __name__ == "__main__":

@@ -72,6 +72,9 @@ class TransformerConfig:
     # --- attention implementation ----------------------------------------------
     remat: bool = False  # activation checkpointing per layer (fairseq
     # --checkpoint-activations / torchscale checkpoint_wrapper, decoder.py:351)
+    remat_policy: str = "full"  # 'full' = recompute everything (lowest
+    # memory); 'dots' = jax dots_with_no_batch_dims_saveable — keep matmul
+    # outputs, recompute only elementwise (higher MFU, ~2x activation memory)
     use_flash: bool = True  # Pallas flash attention when on TPU
     window_size: int = 0  # sliding-window attention (0 = full)
     flash_block_q: int = 512

@@ -24,6 +24,18 @@ from unilm_tpu.core.layers import DropPath, FeedForward, LayerScale, make_norm
 from unilm_tpu.core.positional import RelativePositionBias
 
 
+def _remat_policy(cfg: TransformerConfig):
+    """Map cfg.remat_policy to a jax.checkpoint policy. 'dots' keeps every
+    matmul output (MXU work is never redone in backward — only elementwise
+    ops recompute), trading ~2x activation memory for the ~4/3 FLOP overhead
+    of full remat. None = save nothing (fairseq --checkpoint-activations)."""
+    if cfg.remat_policy == "dots":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    if cfg.remat_policy == "full":
+        return None
+    raise ValueError(f"unknown remat_policy {cfg.remat_policy!r}")
+
+
 def _ln(cfg: TransformerConfig, name: str):
     return make_norm(cfg, name)
 
@@ -110,15 +122,17 @@ class EncoderLayer(nn.Module):
             a = FeedForward(cfg, init_scale=_ffn_init_scale(cfg), name="ffn_A")(
                 x, deterministic=deterministic
             )
-            # no split mask: ffn_B params still must exist (checkpoint shape
-            # stability), so touch it with a single token, not the full batch
-            b = FeedForward(cfg, init_scale=_ffn_init_scale(cfg), name="ffn_B")(
-                x if split_mask is not None else x[:1, :1], deterministic=deterministic
-            )
+            ffn_b = FeedForward(cfg, init_scale=_ffn_init_scale(cfg), name="ffn_B")
             if split_mask is not None:
+                b = ffn_b(x, deterministic=deterministic)
                 m = split_mask[None, :, None] if split_mask.ndim == 1 else split_mask[..., None]
                 x = jnp.where(m, b, a)
             else:
+                # text-only call: ffn_B params must still exist (checkpoint
+                # shape stability) but carry no compute or gradient — create
+                # them at init time only, never run the branch in apply.
+                if self.is_initializing():
+                    ffn_b(x[:1, :1], deterministic=deterministic)
                 x = a
         else:
             ffn, is_moe = _build_ffn(cfg, self.layer_idx)
@@ -289,7 +303,8 @@ class Encoder(nn.Module):
             if cfg.remat:
                 # fairseq --checkpoint-activations equivalent: rematerialize
                 # the layer in backward instead of keeping activations
-                x = nn.remat(run_layer)(layer, x, bias_i)
+                x = nn.remat(run_layer, policy=_remat_policy(cfg))(
+                    layer, x, bias_i)
             else:
                 x = run_layer(layer, x, bias_i)
             if return_all_hiddens:
@@ -384,7 +399,8 @@ class Decoder(nn.Module):
                 # checkpoint_wrapper (decoder.py:351): rematerialize the layer
                 # in backward. Decode mode mutates the cache collection, which
                 # remat cannot wrap — and keeps no activations anyway.
-                x = nn.remat(run_layer)(layer, x, self_attn_bias, encoder_out)
+                x = nn.remat(run_layer, policy=_remat_policy(cfg))(
+                    layer, x, self_attn_bias, encoder_out)
             else:
                 x = run_layer(layer, x, self_attn_bias, encoder_out)
         if cfg.normalize_before:

@@ -226,12 +226,15 @@ class UniGPTConfig:
     moe_experts: int = 0
     moe_top: int = 2
     remat: bool = False  # --checkpoint-activations (kosmos-2 train.sh:50)
+    remat_policy: str = "full"  # see TransformerConfig.remat_policy
     # image tower: 'clip' (k2) | 'pix2struct' (k2.5) | None
     image_tower: Optional[str] = None
     latent_query_num: int = 64
     clip: ClipVisionConfig = ClipVisionConfig()
     pix2struct: Pix2StructVisionConfig = Pix2StructVisionConfig()
     dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32  # bf16 = fairseq --memory-efficient-fp16
+    # (kosmos-2 train.sh:33: params+grads in half precision, no fp32 master)
     use_flash: bool = True
 
     def decoder_cfg(self) -> TransformerConfig:
@@ -243,7 +246,9 @@ class UniGPTConfig:
             activation=self.activation, dropout=self.dropout,
             moe_freq=self.moe_freq, moe_experts=self.moe_experts,
             moe_top=self.moe_top, remat=self.remat,
-            dtype=self.dtype, use_flash=self.use_flash,
+            remat_policy=self.remat_policy,
+            dtype=self.dtype, param_dtype=self.param_dtype,
+            use_flash=self.use_flash,
         )
 
 

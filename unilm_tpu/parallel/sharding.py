@@ -58,17 +58,37 @@ def _rule(path: Tuple[str, ...], shape: Tuple[int, ...], mesh: Mesh) -> P:
             if fsdp:
                 spec[o] = maybe("fsdp", o)
         elif fsdp:
-            # shard the larger dim on fsdp (ZeRO-3 style)
+            # shard the larger dim on fsdp (ZeRO-3 style); fall back to the
+            # other dim when the larger one doesn't divide
             dim = i if shape[i] >= shape[o] else o
             spec[dim] = maybe("fsdp", dim)
+            if spec[dim] is None:
+                other = o if dim == i else i
+                spec[other] = maybe("fsdp", other)
     elif leaf in ("embedding",) and len(shape) == 2:
         if fsdp:
+            # odd vocab sizes (RoBERTa 50265, kosmos 65037) don't divide:
+            # shard the embed dim instead — the vocab table is usually the
+            # single largest tensor and must not stay replicated under ZeRO
             spec[0] = maybe("fsdp", 0)
+            if spec[0] is None:
+                spec[1] = maybe("fsdp", 1)
     elif leaf == "kernel" and len(shape) == 4:  # conv [kh, kw, in, out]
         if fsdp:
             spec[3] = maybe("fsdp", 3)
+            if spec[3] is None:
+                spec[2] = maybe("fsdp", 2)
     elif leaf == "bias" and len(shape) == 1 + offset and tp and parent in COLUMN_PARALLEL:
         spec[offset] = maybe("tensor", offset)
+    # anything ≥2D still unmatched (rel-pos tables, scan-stacked params,
+    # mask tokens with leading singleton dims...): shard the largest
+    # divisible dim on fsdp — guards sharding-rule rot as models grow
+    # (tests/test_sharding_coverage.py asserts the invariant).
+    if fsdp and len(shape) >= 2 and all(s is None for s in spec):
+        for dim in sorted(range(len(shape)), key=lambda d: -shape[d]):
+            if shape[dim] % _axis_size(mesh, "fsdp") == 0 and shape[dim] > 1:
+                spec[dim] = "fsdp"
+                break
     # LN scales/biases, small vectors: replicated
     return P(*spec)
 
