@@ -67,13 +67,13 @@ def transformer_train_flops(n_mm: int, tokens: int, L: int, E: int, T: int) -> f
 TUNNEL_S = 0.030  # axon host<->chip round-trip constant (see kosmos_ttft.py)
 
 
-def make_multi_step(step_fn, inner):
+def make_multi_step(step_fn, inner, donate=True):
     """lax.scan `inner` train steps inside ONE jitted program: amortizes the
     tunnel round-trip AND defeats async-dispatch timing artifacts — the
     scalar fetch of the last loss can't complete before every step ran."""
     from functools import partial
 
-    @partial(jax.jit, donate_argnums=(0,))
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def multi(state, batch, rng):
         def body(carry, r):
             st, _ = carry
@@ -104,7 +104,7 @@ def bench_gpt(args):
     import optax
 
     T, mb, acc = args.seq, args.micro_batch, args.accum
-    cfg = UniGPTConfig(dtype=jnp.bfloat16, use_flash=True,
+    cfg = UniGPTConfig(dtype=jnp.bfloat16, use_flash=not args.no_flash,
                        remat=not args.no_remat, remat_policy=args.remat_policy,
                        param_dtype=(jnp.bfloat16 if args.param_dtype == "bf16"
                                     else jnp.float32),
@@ -142,6 +142,33 @@ def bench_gpt(args):
     data = np.random.RandomState(0).randint(3, cfg.vocab_size - 1, size=(acc, mb, T))
     batch = {"tokens": jnp.asarray(data if acc > 1 else data[0], jnp.int32)}
 
+    if args.breakdown:
+        # Time fwd-only and fwd+bwd separately (same scan harness) so the
+        # optimizer/backward/forward split of the full step is measurable.
+        mb_tokens = batch["tokens"][0] if acc > 1 else batch["tokens"]
+
+        def fwd_only(state, b, rng):
+            l, _ = loss_fn(state.params, {"tokens": b}, rng)
+            return state, {"loss": l}
+
+        def fwd_bwd(state, b, rng):
+            (l, _), g = jax.value_and_grad(
+                lambda p: loss_fn(p, {"tokens": b}, rng), has_aux=True
+            )(state.params)
+            # fold the grads into the loss so XLA cannot DCE the backward
+            leaves = jax.tree.leaves(g)
+            probe = sum(jnp.sum(x[..., :1, :1].astype(jnp.float32))
+                        for x in leaves if x.ndim >= 2)
+            return state, {"loss": l + 0.0 * probe}
+
+        parts = {}
+        for name, fn in (("fwd", fwd_only), ("fwd+bwd", fwd_bwd)):
+            m = make_multi_step(fn, args.inner, donate=False)
+            med_p, _, _ = time_multi(m, state, mb_tokens, rng,
+                                     args.inner, args.steps)
+            parts[name] = round(med_p * 1e3, 1)
+            print(f"  {name}: {parts[name]} ms/microbatch", flush=True)
+
     multi = make_multi_step(step_fn, args.inner)
     t0 = time.time()
     med, times, loss = time_multi(multi, state, batch, rng, args.inner, args.steps)
@@ -154,6 +181,8 @@ def bench_gpt(args):
     return {
         "workload": "gpt1p3b_train", "batch": mb * acc, "seq": T,
         "microbatches": acc, "optimizer": args.optimizer,
+        "flash": not args.no_flash,
+        **({"breakdown_ms_per_microbatch": parts} if args.breakdown else {}),
         "step_ms": round(med * 1e3, 1),
         "tokens_per_s": round(tokens_step / med),
         "model_tflops_per_s": round(flops / med / 1e12, 1),
@@ -232,6 +261,12 @@ def main():
     p.add_argument("--inner", type=int, default=4)  # steps per jitted scan
     p.add_argument("--optimizer", default="adafactor",
                    choices=["adafactor", "adamw"])
+    p.add_argument("--no_flash", action="store_true",
+                   help="ablation: XLA dot-product attention instead of the "
+                        "Pallas flash fwd+bwd kernels")
+    p.add_argument("--breakdown", action="store_true",
+                   help="also time fwd-only and fwd+bwd per microbatch "
+                        "(gpt workload)")
     p.add_argument("--no_remat", action="store_true",
                    help="store activations instead of rematerializing")
     p.add_argument("--remat_policy", default="full", choices=["full", "dots"],
