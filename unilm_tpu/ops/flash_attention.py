@@ -56,7 +56,10 @@ def _dot_kwargs(dtype):
         global_prec = jax.config.jax_default_matmul_precision
     except AttributeError:
         global_prec = None
-    if global_prec in ("highest", "float32", "high", "tensorfloat32"):
+    # Normalize: newer JAX versions may store a Precision enum / pair here
+    # rather than the config string — compare on the lowered string form.
+    name = str(global_prec).lower() if global_prec is not None else ""
+    if any(k in name for k in ("highest", "float32", "high", "tensorfloat32")):
         if dtype != jnp.float32:
             return {"precision": jax.lax.Precision.DEFAULT}
     return {}
