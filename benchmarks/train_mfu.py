@@ -127,12 +127,25 @@ def bench_gpt(args):
     tx = optax.adafactor(1e-4) if args.optimizer == "adafactor" else \
         optax.adamw(1e-4, b1=0.9, b2=0.98, weight_decay=0.01)
 
-    def loss_fn(p, batch, rng):
-        logits = model.apply({"params": p}, batch["tokens"], deterministic=True)
-        loss, denom = cross_entropy_loss(
-            logits[:, :-1], batch["tokens"][:, 1:],
-            mask=jnp.ones_like(batch["tokens"][:, 1:], jnp.float32))
-        return loss / denom, {"ntok": denom}
+    if args.fused_ce:
+        from unilm_tpu.ops.fused_ce import chunked_cross_entropy
+
+        def loss_fn(p, batch, rng):
+            feats = model.apply({"params": p}, batch["tokens"],
+                                deterministic=True, return_features=True)
+            loss, denom = chunked_cross_entropy(
+                feats[:, :-1], p["embed_tokens"]["embedding"],
+                batch["tokens"][:, 1:],
+                mask=jnp.ones_like(batch["tokens"][:, 1:], jnp.float32),
+                chunk=args.ce_chunk)
+            return loss / denom, {"ntok": denom}
+    else:
+        def loss_fn(p, batch, rng):
+            logits = model.apply({"params": p}, batch["tokens"], deterministic=True)
+            loss, denom = cross_entropy_loss(
+                logits[:, :-1], batch["tokens"][:, 1:],
+                mask=jnp.ones_like(batch["tokens"][:, 1:], jnp.float32))
+            return loss / denom, {"ntok": denom}
 
     step_fn = make_train_step(loss_fn, tx, clip_grad_norm=1.0, microbatches=acc)
     rng = jax.random.PRNGKey(1)
@@ -181,7 +194,7 @@ def bench_gpt(args):
     return {
         "workload": "gpt1p3b_train", "batch": mb * acc, "seq": T,
         "microbatches": acc, "optimizer": args.optimizer,
-        "flash": not args.no_flash,
+        "flash": not args.no_flash, "fused_ce": args.fused_ce,
         **({"breakdown_ms_per_microbatch": parts} if args.breakdown else {}),
         "step_ms": round(med * 1e3, 1),
         "tokens_per_s": round(tokens_step / med),
@@ -261,6 +274,10 @@ def main():
     p.add_argument("--inner", type=int, default=4)  # steps per jitted scan
     p.add_argument("--optimizer", default="adafactor",
                    choices=["adafactor", "adamw"])
+    p.add_argument("--fused_ce", action="store_true",
+                   help="chunked-vocab CE from features (ops/fused_ce.py) "
+                        "instead of materializing [B,T,V] logits")
+    p.add_argument("--ce_chunk", type=int, default=8192)
     p.add_argument("--no_flash", action="store_true",
                    help="ablation: XLA dot-product attention instead of the "
                         "Pallas flash fwd+bwd kernels")

@@ -146,3 +146,19 @@ def test_vl_pretraining_resume_smoke(tmp_path):
     # resume: max_steps 4 continues from the step-2 checkpoint
     main([a if a != "2" or argv[argv.index(a) - 1] != "--max_steps" else "4"
           for a in argv])
+
+
+def test_vl_pretraining_fused_ce_smoke(tmp_path):
+    """--fused_ce path: chunked-vocab CE from features (ops/fused_ce.py)
+    through the full multimodal train step."""
+    from unilm_tpu.cli.train_gpt import main
+
+    shards = _write_laion_shards(tmp_path, n_shards=1, lines_per=8)
+    main([
+        "--vl_data", shards[0], "--save_dir", str(tmp_path / "ckpt_f"),
+        "--tokens_per_sample", "32", "--image_tokens", "4",
+        "--image_size", "16", "--clip_dim", "32",
+        "--batch_size", "2", "--max_steps", "2", "--save_every", "2",
+        "--dim", "32", "--layers", "1", "--heads", "2", "--ffn", "64",
+        "--log_every", "1", "--fused_ce", "--ce_chunk", "128",
+    ])

@@ -30,6 +30,7 @@ from unilm_tpu.runtime import metrics as M
 from unilm_tpu.runtime.checkpoint import CheckpointManager
 from unilm_tpu.runtime.logging import JsonlLogger, find_nonfinite
 from unilm_tpu.runtime.optim import polynomial_decay_schedule
+from unilm_tpu.ops.fused_ce import chunked_cross_entropy
 from unilm_tpu.runtime.train import TrainState, cross_entropy_loss, make_train_step
 
 import optax
@@ -107,6 +108,10 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--warmup", type=int, default=375)
     p.add_argument("--clip_norm", type=float, default=2.0)
+    p.add_argument("--fused_ce", action="store_true",
+                   help="chunked-vocab CE (ops/fused_ce.py): no [B,T,V] "
+                        "logits tensor; recommended for vocab >= 32k")
+    p.add_argument("--ce_chunk", type=int, default=8192)
     p.add_argument("--save_every", type=int, default=200)
     p.add_argument("--log_every", type=int, default=20)
     p.add_argument("--seed", type=int, default=1)
@@ -183,22 +188,31 @@ def main(argv=None):
     tx = optax.adamw(sched, b1=0.9, b2=0.98, weight_decay=0.01)
     state = TrainState.create(params, tx)
 
+    def _ce(p, feats_or_logits, targets, mask):
+        """Dense CE, or chunked-vocab CE from features when --fused_ce
+        (ops/fused_ce.py — avoids the [B,T,V] fp32 logits tensor)."""
+        if args.fused_ce:
+            return chunked_cross_entropy(
+                feats_or_logits, p["embed_tokens"]["embedding"],
+                targets, mask=mask, chunk=args.ce_chunk)
+        return cross_entropy_loss(feats_or_logits, targets, mask=mask)
+
     if multimodal:
         def loss_fn(p, batch, rng):
-            logits = model.apply(
+            out = model.apply(
                 {"params": p}, batch["tokens"], batch["images"][:, 0],
                 batch["img_mask"], batch["segs"],
+                return_features=args.fused_ce,
             )
             # UniGPTLoss: CE over text positions only (unigpt.py:24-70)
-            s, n = cross_entropy_loss(
-                logits[:, :-1], batch["tokens"][:, 1:],
-                mask=batch["loss_mask"][:, 1:],
-            )
+            s, n = _ce(p, out[:, :-1], batch["tokens"][:, 1:],
+                       batch["loss_mask"][:, 1:])
             return s / n, {"ntok": n}
     else:
         def loss_fn(p, batch, rng):
-            logits = model.apply({"params": p}, batch)
-            s, n = cross_entropy_loss(logits[:, :-1], batch[:, 1:])
+            out = model.apply({"params": p}, batch,
+                              return_features=args.fused_ce)
+            s, n = _ce(p, out[:, :-1], batch[:, 1:], None)
             return s / n, {"ntok": n}
 
     step_fn = jax.jit(make_train_step(

@@ -373,7 +373,11 @@ class UniGPT(nn.Module):
         img_gpt_input_mask: Optional[jax.Array] = None,
         segment_tokens: Optional[jax.Array] = None,
         deterministic: bool = True,
+        return_features: bool = False,
     ) -> jax.Array:
+        """return_features=True yields pre-logit decoder output [B, T, E]
+        (for chunked-vocab losses, ops/fused_ce.py, which apply the tied
+        output embedding themselves instead of materializing logits)."""
         img_feats = (
             self.get_image_representation(img_inputs, deterministic)
             if img_inputs is not None
@@ -387,6 +391,8 @@ class UniGPT(nn.Module):
         x = self.decoder(
             x, self_key_padding_mask=pad_mask, causal=True, deterministic=deterministic
         )
+        if return_features:
+            return x
         return self.output_layer(x)
 
     def prefill(
