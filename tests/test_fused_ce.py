@@ -82,6 +82,44 @@ def test_bf16_features_fp32_accumulate():
     assert bool(jnp.isfinite(g[0].astype(jnp.float32)).all())
 
 
+def test_sharded_mesh_parity():
+    """Chunked CE under GSPMD: features data-sharded, embedding
+    vocab-sharded on fsdp (parallel/sharding.py embedding rule) — loss and
+    grads must match the single-device dense result."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    B, T, E, V = 8, 16, 32, 512
+    r = np.random.RandomState(3)
+    x = jnp.asarray(r.randn(B, T, E), jnp.float32)
+    emb = jnp.asarray(r.randn(V, E) * 0.1, jnp.float32)
+    tgt = jnp.asarray(r.randint(0, V, (B, T)), jnp.int32)
+    mask = jnp.asarray((r.rand(B, T) > 0.2), jnp.float32)
+
+    ref = jax.grad(
+        lambda a, b: dense(a, b, tgt.reshape(-1), mask.reshape(-1))[0],
+        argnums=(0, 1))(x.reshape(-1, E), emb)
+    ref_loss = float(dense(x.reshape(-1, E), emb, tgt.reshape(-1),
+                           mask.reshape(-1))[0])
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4), ("data", "fsdp"))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None, None)))
+    es = jax.device_put(emb, NamedSharding(mesh, P("fsdp", None)))
+
+    @jax.jit
+    def f(x, emb):
+        return chunked_cross_entropy(x, emb, tgt, mask, chunk=128)[0]
+
+    loss = float(f(xs, es))
+    np.testing.assert_allclose(loss, ref_loss, rtol=1e-5)
+    g = jax.jit(jax.grad(f, argnums=(0, 1)))(xs, es)
+    np.testing.assert_allclose(np.asarray(g[0]).reshape(-1, E),
+                               np.asarray(ref[0]), atol=2e-6, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(g[1]), np.asarray(ref[1]),
+                               atol=2e-6, rtol=1e-4)
+
+
 def test_jit_and_scan_compatible():
     x, emb, tgt, mask = _setup(N=32, V=300)
 
