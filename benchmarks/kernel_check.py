@@ -106,6 +106,21 @@ def main():
     for n, a, b in zip("qkv", gk, gr):
         check(f"flash backward+kpm d{n}", a, b, 2e-2)
 
+    # broadcast-bias backward (bias_acc_b row accumulator): dbias sums over B
+    Tb = Sb = 197
+    qb, kb, vb = r(0, B, Tb, H, D), r(1, B, Sb, H, D), r(2, B, Sb, H, D)
+    bias_b = r(3, 1, H, Tb, Sb)
+
+    def glb(f):
+        return jax.jit(jax.grad(lambda q, k, v, b: jnp.sum(f(q, k, v, b) ** 2),
+                                argnums=(0, 1, 2, 3)))
+
+    gk = glb(lambda q, k, v, b: fa.flash_attention(
+        q, k, v, bias=b))(qb, kb, vb, bias_b)
+    gr = glb(lambda q, k, v, b: ref_attn(q, k, v, bias=b))(qb, kb, vb, bias_b)
+    for n, a, b in zip(("q", "k", "v", "bias"), gk, gr):
+        check(f"flash backward bcast-bias d{n}", a, b, 2e-2)
+
     # ---- one-pass + layout-native encoder kernels --------------------------
     T2 = S2 = 197
     q2, k2, v2 = r(0, B, T2, H, D), r(1, B, S2, H, D), r(2, B, S2, H, D)
@@ -117,6 +132,14 @@ def main():
           jax.jit(lambda q, k, v, b: fa.fused_encoder_attention(q, k, v, b, D**-0.5))(
               q2, k2, v2, bias2),
           ref_attn(q2, k2, v2, bias=bias2), 5e-3)
+
+    # one-pass encoder backward (_vit_bwd_kernel): dq/dk/dv + batch-summed
+    # dbias vs XLA autodiff through the reference
+    gk = glb(lambda q, k, v, b: fa.fused_encoder_attention(
+        q, k, v, b, D**-0.5))(q2, k2, v2, bias2)
+    gr = glb(lambda q, k, v, b: ref_attn(q, k, v, bias=b))(q2, k2, v2, bias2)
+    for n, a, b in zip(("q", "k", "v", "bias"), gk, gr):
+        check(f"fused encoder backward d{n}", a, b, 2e-2)
 
     # ---- paged decode kernel ----------------------------------------------
     from unilm_tpu.ops.paged_attention import paged_decode_attention

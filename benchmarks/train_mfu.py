@@ -211,7 +211,9 @@ def bench_beit(args):
     from unilm_tpu.runtime.train import TrainState, make_train_step
 
     cfg = beit_base_patch16_224(num_classes=1000, dtype=jnp.bfloat16,
-                                drop_path_rate=0.1)
+                                drop_path_rate=0.1,
+                                remat=not args.no_remat and args.batch > 512,
+                                remat_policy=args.remat_policy)
     model = BeitForImageClassification(cfg)
     B = args.batch
     imgs = jnp.ones((B, 224, 224, 3), jnp.bfloat16)

@@ -164,6 +164,37 @@ def test_grad_pallas_backward(causal, window, with_mask, with_bias):
         np.testing.assert_allclose(a, b, atol=5e-4, rtol=1e-3)
 
 
+@pytest.mark.parametrize(
+    "causal,T,S,bias_h",
+    [
+        (False, 197, 197, True),   # BEiT fine-tune shape (ragged, padded)
+        (True, 96, 96, True),
+        (False, 64, 128, True),    # cross-shaped
+        (False, 64, 64, False),    # [1,1,T,S] stays on the dense fallback
+    ],
+)
+def test_grad_broadcast_bias_batch_accumulated(causal, T, S, bias_h):
+    """[1,H,T,S] bias with B>1: dbias must SUM over batch via the in-kernel
+    row accumulator (bias_acc_b), not the dense fallback — except the
+    [1,1,T,S] head-broadcast case which still falls back."""
+    q, k, v = rand(0, B, T, H, D), rand(1, B, S, H, D), rand(2, B, S, H, D)
+    bias = rand(3, 1, H if bias_h else 1, T, S)
+
+    def loss_flash(q, k, v, bias):
+        return jnp.sum(
+            fa.flash_attention(q, k, v, bias=bias, causal=causal,
+                               interpret=True, block_q=64, block_k=64) ** 2
+        )
+
+    def loss_ref(q, k, v, bias):
+        return jnp.sum(reference(q, k, v, bias=bias, causal=causal) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(a, b, atol=5e-4, rtol=1e-3)
+
+
 def test_grad_pallas_backward_prefill_offset():
     """Backward through the q_offset/kv_len prefill path."""
     S, T = 256, 64
@@ -187,6 +218,73 @@ def test_grad_pallas_backward_prefill_offset():
     gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(a, b, atol=5e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize(
+    "T,S,bias_mode",
+    [
+        (197, 197, "bh"),    # BEiT fine-tune: [1, H, T, S] rel-pos table
+        (197, 197, "none"),
+        (64, 128, "h1"),     # cross-shaped, head-broadcast bias
+        (96, 96, "batch"),   # per-batch bias
+        (200, 197, "bh"),    # S padding -> colmask folded into bias
+    ],
+)
+def test_fused_encoder_backward_onepass(T, S, bias_mode):
+    """One-pass Pallas backward of fused_encoder_attention vs XLA autodiff
+    (dq/dk/dv and broadcast-reduced dbias)."""
+    q, k, v = rand(0, B, T, H, D), rand(1, B, S, H, D), rand(2, B, S, H, D)
+    scale = D**-0.5
+    if bias_mode == "none":
+        bias = None
+    else:
+        bdim = B if bias_mode == "batch" else 1
+        hdim = 1 if bias_mode == "h1" else H
+        bias = rand(3, bdim, hdim, T, S) * 2.0
+
+    assert fa._vit_bwd_profitable(B, H, T, S, D, 0 if bias is None else bias.shape[1], 4)
+
+    def loss_fused(q, k, v, bias):
+        return jnp.sum(
+            fa.fused_encoder_attention(q, k, v, bias, scale, True) ** 2)
+
+    def loss_ref(q, k, v, bias):
+        return jnp.sum(fa._vit_ref(q, k, v, bias, scale) ** 2)
+
+    argnums = (0, 1, 2) if bias is None else (0, 1, 2, 3)
+    gf = jax.grad(loss_fused, argnums=argnums)(q, k, v, bias)
+    gr = jax.grad(loss_ref, argnums=argnums)(q, k, v, bias)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(a, b, atol=1e-3, rtol=2e-3)
+
+
+def test_lse_residual_compact_3d():
+    """Every forward variant must emit its lse residual as compact [B,H,T]:
+    a [B,H,T,1] residual is tile-padded 128x in HBM (600 MB/layer at
+    BEiT-B batch 512 — the round-2 training OOM)."""
+    qoff = jnp.zeros((1,), jnp.int32)
+
+    # blocked grid (T > onepass budget at these block sizes)
+    T = S = 256
+    q, k, v = rand(0, B, T, H, D), rand(1, B, S, H, D), rand(2, B, S, H, D)
+    lim = jnp.full((1,), S, jnp.int32)
+    _, lse = fa._flash_forward(
+        q.swapaxes(1, 2), k.swapaxes(1, 2), v.swapaxes(1, 2), None, None,
+        qoff, lim, causal=False, window=0, block_q=64, block_k=64,
+        interpret=True)
+    assert lse.shape == (B, H, T)
+
+    # one-pass
+    _, lse = fa._flash_forward_onepass(
+        q.swapaxes(1, 2), k.swapaxes(1, 2), v.swapaxes(1, 2), None, None,
+        qoff, lim, causal=False, window=0, full_kv=True, interpret=True)
+    assert lse.shape == (B, H, T)
+
+    # triangular causal grid
+    _, lse = fa._flash_forward_tri(
+        q.swapaxes(1, 2), k.swapaxes(1, 2), v.swapaxes(1, 2), None, None,
+        qoff, lim, block=64, interpret=True)
+    assert lse.shape == (B, H, T)
 
 
 def test_bf16():

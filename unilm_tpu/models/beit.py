@@ -93,6 +93,8 @@ class BeitConfig:
     vocab_size: int = 8192  # visual-token codebook (pretraining head)
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = True
+    remat: bool = False  # fairseq --checkpoint-activations equivalent
+    remat_policy: str = "full"  # 'dots' keeps matmul outputs
 
     @property
     def grid_size(self) -> tuple[int, int]:
@@ -117,6 +119,8 @@ class BeitConfig:
             layernorm_eps=self.layernorm_eps,
             dtype=self.dtype,
             use_flash=self.use_flash,
+            remat=self.remat,
+            remat_policy=self.remat_policy,
         )
 
 

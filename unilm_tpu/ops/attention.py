@@ -103,7 +103,10 @@ def attention(
 
         # Encoder hot path (BEiT/ViT/LayoutLMv3): non-causal, full kv, no
         # key-padding mask, short S -> layout-native fused kernel with no
-        # transposes around the pallas call.
+        # transposes around the pallas call. Its backward is the one-pass
+        # Pallas recompute kernel (_vit_bwd_kernel) — the dense XLA
+        # fallback's [B,H,T,S] f32 logits were the peak training
+        # allocation (1.17 GB/layer at BEiT-B batch 512).
         if (
             not causal
             and not window

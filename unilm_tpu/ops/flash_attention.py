@@ -38,6 +38,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
+# VMEM cap for the [block_q, Sp] dbias row accumulator in the broadcast-bias
+# backward (see _bwd_dq_kernel bias_acc_b): 6 MB leaves room for the q/k/v
+# blocks alongside it.
+_BIAS_ACC_VMEM_BUDGET = 6 * 2**20
+
 
 
 def _dot_kwargs(dtype):
@@ -250,11 +255,14 @@ def _flash_kernel(
         out = acc_ref[:] / jnp.where(l > 0.0, l, 1.0)
         o_ref[0, 0] = out.astype(o_ref.dtype)
         # row log-sum-exp of the (pre-scaled) logits, consumed by the
-        # backward kernels' in-kernel softmax recompute; 0 for dead rows
+        # backward kernels' in-kernel softmax recompute; 0 for dead rows.
+        # Stored LANE-major (transposed) into a [B, H*nq, 1, bq] buffer: a
+        # [B, H, Tp, 1] output would be tile-padded 128x in HBM (measured
+        # 600 MB/layer at BEiT-B batch 512 — the peak training allocation).
         lse = jnp.where(
             l > 0.0, m_ref[:, :1] + jnp.log(jnp.maximum(l, 1e-37)), 0.0
         )
-        lse_ref[0, 0] = lse
+        lse_ref[0, 0] = jnp.transpose(lse)
 
 
 def _flash_forward(
@@ -342,6 +350,7 @@ def _flash_forward(
     )
 
     flops = 4 * B * H * Tp * Sp * D
+    nq = Tp // block_q
     out, lse = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -350,7 +359,10 @@ def _flash_forward(
             in_specs=in_specs,
             out_specs=(
                 pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j, *_: (b, h, i, 0)),
-                pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i, j, *_: (b, h, i, 0)),
+                pl.BlockSpec(
+                    (1, 1, 1, block_q),
+                    lambda b, h, i, j, *_, nq=nq: (b, h * nq + i, 0, 0),
+                ),
             ),
             scratch_shapes=[
                 pltpu.VMEM((block_q, D), jnp.float32),
@@ -360,7 +372,7 @@ def _flash_forward(
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, H, Tp, D), q.dtype),
-            jax.ShapeDtypeStruct((B, H, Tp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, H * nq, 1, block_q), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
@@ -370,7 +382,7 @@ def _flash_forward(
         ),
         interpret=interpret,
     )(q_offset, limit, *inputs)
-    return out[:, :, :T, :], lse[:, :, :T, 0]
+    return out[:, :, :T, :], lse.reshape(B, H, Tp)[:, :, :T]
 
 
 
@@ -460,7 +472,7 @@ def _flash_tri_kernel(
         out = acc_ref[:] / jnp.where(l > 0.0, l, 1.0)
         o_ref[0, 0] = out.astype(o_ref.dtype)
         lse = jnp.where(l > 0.0, m_ref[:, :1] + jnp.log(jnp.maximum(l, 1e-37)), 0.0)
-        lse_ref[0, 0] = lse
+        lse_ref[0, 0] = jnp.transpose(lse)  # lane-major: see _flash_kernel
 
 
 def _flash_forward_tri(
@@ -529,7 +541,7 @@ def _flash_forward_tri(
     )
     def lmap(b, h, t, *_):
         i, _ = _tri_ij(t)
-        return (b, h, i, 0)
+        return (b, h * nblk + i, 0, 0)
 
     out, lse = pl.pallas_call(
         kernel,
@@ -539,7 +551,7 @@ def _flash_forward_tri(
             in_specs=in_specs,
             out_specs=(
                 pl.BlockSpec((1, 1, block, D), qmap),
-                pl.BlockSpec((1, 1, block, 1), lmap),
+                pl.BlockSpec((1, 1, 1, block), lmap),
             ),
             scratch_shapes=[
                 pltpu.VMEM((block, D), jnp.float32),
@@ -549,7 +561,7 @@ def _flash_forward_tri(
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, H, Tp, D), q.dtype),
-            jax.ShapeDtypeStruct((B, H, Tp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, H * nblk, 1, block), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -561,7 +573,7 @@ def _flash_forward_tri(
         ),
         interpret=interpret,
     )(q_offset, limit, *inputs)
-    return out[:, :, :T, :], lse[:, :, :T, 0]
+    return out[:, :, :T, :], lse.reshape(B, H, Tp)[:, :, :T]
 
 def _vit_kernel(
     q_ref,  # [1, Tp, H*D] (natural projection layout — no transpose)
@@ -684,6 +696,210 @@ def fused_encoder_attention(q, k, v, bias, scale, interpret=False):
     return _vit_forward(q, k, v, bias, scale, interpret)
 
 
+def _vit_bwd_kernel(
+    q_ref,   # [1, Tp, H*D]  (natural projection layout, unscaled)
+    k_ref,   # [1, Sp, H*D]
+    v_ref,
+    do_ref,  # [1, Tp, H*D]
+    *rest,
+    num_heads: int, head_dim: int, scale: float, has_bias: bool,
+    bias_b: bool, bias_h: int,
+):
+    """One-pass encoder attention backward (BEiT/DiT/LayoutLMv3 training).
+
+    One grid step per batch item, heads looped in-kernel, the whole
+    [Tp, Sp] plane in VMEM. p is recomputed from q/k/v (+ pre-scaled
+    bias) exactly as the forward computed it — NO residuals are read:
+    delta = rowsum(p * dp) replaces sum(dO * O), so lse/out never leave
+    the chip. dbias for a batch-broadcast bias ([1, H, T, S] rel-pos
+    tables) accumulates across the whole batch sweep inside the
+    VMEM-resident output block.
+
+    Replaces the dense XLA recompute backward whose materialized
+    [B, H, T, S] f32 logits were the peak training allocation
+    (1.17 GB/layer at BEiT-B batch 512) and kept training throughput
+    HBM-bound. Reference hot path: beit/engine_for_finetuning.py:35
+    train_one_epoch -> modeling_finetune.py Attention (torch autograd).
+    """
+    idx = 0
+    bias_ref = rest[idx] if has_bias else None
+    idx += 1 if has_bias else 0
+    dq_ref, dk_ref, dv_ref = rest[idx], rest[idx + 1], rest[idx + 2]
+    dbias_ref = rest[idx + 3] if has_bias else None
+
+    b = pl.program_id(0)
+    LOG2E = 1.4426950408889634
+
+    if has_bias:
+        # batch-broadcast bias: the dbias block is revisited across every
+        # b — zero once, accumulate, flushed after the last step
+        @pl.when(jnp.logical_or(b == 0, bias_b))
+        def _zero_dbias():
+            dbias_ref[:] = jnp.zeros_like(dbias_ref)
+
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        qh = q_ref[0, :, sl] * jnp.asarray(scale * LOG2E, q_ref.dtype)
+        s2 = jax.lax.dot_general(
+            qh, k_ref[0, :, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            **_dot_kwargs(q_ref.dtype),
+        )  # [Tp, Sp], log2-domain
+        if has_bias:
+            # bias is pre-scaled by log2(e) and pre-masked outside (same
+            # convention as _vit_kernel)
+            s2 = s2 + bias_ref[0, h if bias_h > 1 else 0]
+        m = jnp.max(s2, axis=1, keepdims=True)
+        e = jnp.exp2(s2 - m)
+        p = e / jnp.sum(e, axis=1, keepdims=True)  # natural-domain softmax
+
+        do = do_ref[0, :, sl].astype(jnp.float32)
+        dp = jax.lax.dot_general(
+            do, v_ref[0, :, sl].astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            **_dot_kwargs(q_ref.dtype),
+        )  # [Tp, Sp]
+        delta = jnp.sum(p * dp, axis=1, keepdims=True)  # rowsum(p*dp) == sum(dO*O)
+        ds = p * (dp - delta)  # grad wrt natural-domain logits
+        if has_bias:
+            hb_idx = h if bias_h > 1 else 0
+            dbias_ref[0, hb_idx] = dbias_ref[0, hb_idx] + ds
+        dsl = ds.astype(k_ref.dtype)
+        dq_ref[0, :, sl] = (jax.lax.dot_general(
+            dsl, k_ref[0, :, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            **_dot_kwargs(q_ref.dtype),
+        ) * scale).astype(dq_ref.dtype)
+        dk_ref[0, :, sl] = (jax.lax.dot_general(
+            dsl, q_ref[0, :, sl], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            **_dot_kwargs(q_ref.dtype),
+        ) * scale).astype(dk_ref.dtype)
+        dv_ref[0, :, sl] = jax.lax.dot_general(
+            p.astype(do_ref.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            **_dot_kwargs(q_ref.dtype),
+        ).astype(dv_ref.dtype)
+
+
+def _vit_bwd_profitable(B, H, T, S, D, bias_h, itemsize: int = 2) -> bool:
+    """VMEM budget for the one-pass backward: four [Tp, Sp] f32 planes,
+    double-buffered q/k/v/do + dq/dk/dv blocks ([Tp, H*D] layout — heads
+    are lane slices, no per-head padding), resident bias + dbias."""
+    Tp, Sp = _cdiv(T, 8) * 8, _cdiv(S, 8) * 8
+    lanes = _cdiv(H * D, 128) * 128
+    lanes_s = _cdiv(Sp, 128) * 128
+    io = 7 * max(Tp, Sp) * lanes * itemsize * 2
+    plane = 4 * Tp * lanes_s * 4
+    b = 2 * max(bias_h, 1) * Tp * lanes_s * 4
+    return io + plane + b <= 12 * 1024 * 1024
+
+
+def _vit_backward(q, k, v, bias, g, scale, interpret):
+    """[B, T, H, D] inputs; one-pass fused backward. Returns dq/dk/dv
+    (+ dbias when bias is not None)."""
+    B, T, H, D = q.shape
+    S = k.shape[1]
+    Tp = _cdiv(T, 8) * 8
+    Sp = _cdiv(S, 8) * 8
+    qf = q.reshape(B, T, H * D)
+    kf = k.reshape(B, S, H * D)
+    vf = v.reshape(B, S, H * D)
+    gf = g.reshape(B, T, H * D)
+    if Tp != T:
+        qf = jnp.pad(qf, ((0, 0), (0, Tp - T), (0, 0)))
+        gf = jnp.pad(gf, ((0, 0), (0, Tp - T), (0, 0)))
+    if Sp != S:
+        kf = jnp.pad(kf, ((0, 0), (0, Sp - S), (0, 0)))
+        vf = jnp.pad(vf, ((0, 0), (0, Sp - S), (0, 0)))
+
+    LOG2E = 1.4426950408889634
+    had_bias = bias is not None
+    if bias is None and Sp != S:
+        colmask = jnp.where(jnp.arange(Sp) < S, 0.0, NEG_INF).astype(jnp.float32)
+        bias = jnp.broadcast_to(colmask[None, None, None, :], (1, 1, Tp, Sp))
+    elif bias is not None:
+        bias = bias.astype(jnp.float32) * LOG2E
+        if bias.shape[2] != Tp or bias.shape[3] != Sp:
+            bias = jnp.pad(
+                bias,
+                ((0, 0), (0, 0), (0, Tp - bias.shape[2]), (0, Sp - bias.shape[3])),
+                constant_values=NEG_INF,
+            )
+    has_bias = bias is not None
+
+    in_specs = [
+        pl.BlockSpec((1, Tp, H * D), lambda b: (b, 0, 0)),
+        pl.BlockSpec((1, Sp, H * D), lambda b: (b, 0, 0)),
+        pl.BlockSpec((1, Sp, H * D), lambda b: (b, 0, 0)),
+        pl.BlockSpec((1, Tp, H * D), lambda b: (b, 0, 0)),
+    ]
+    inputs = [qf, kf, vf, gf]
+    bias_b = False
+    bias_h = 0
+    if has_bias:
+        bias_b = bias.shape[0] > 1
+        bias_h = bias.shape[1]
+        in_specs.append(
+            pl.BlockSpec(
+                (1, bias_h, Tp, Sp),
+                lambda b, *, bb=bias_b: (b if bb else 0, 0, 0, 0),
+            )
+        )
+        inputs.append(bias)
+
+    out_specs = [
+        pl.BlockSpec((1, Tp, H * D), lambda b: (b, 0, 0)),
+        pl.BlockSpec((1, Sp, H * D), lambda b: (b, 0, 0)),
+        pl.BlockSpec((1, Sp, H * D), lambda b: (b, 0, 0)),
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((B, Tp, H * D), q.dtype),
+        jax.ShapeDtypeStruct((B, Sp, H * D), k.dtype),
+        jax.ShapeDtypeStruct((B, Sp, H * D), v.dtype),
+    ]
+    if has_bias:
+        out_specs.append(
+            pl.BlockSpec(
+                (1, bias_h, Tp, Sp),
+                lambda b, *, bb=bias_b: (b if bb else 0, 0, 0, 0),
+            )
+        )
+        out_shapes.append(
+            jax.ShapeDtypeStruct((bias.shape[0], bias_h, Tp, Sp), jnp.float32)
+        )
+
+    res = pl.pallas_call(
+        functools.partial(
+            _vit_bwd_kernel, num_heads=H, head_dim=D, scale=scale,
+            has_bias=has_bias, bias_b=bias_b, bias_h=bias_h,
+        ),
+        grid_spec=pl.GridSpec(
+            grid=(B,), in_specs=in_specs, out_specs=tuple(out_specs),
+        ),
+        out_shape=tuple(out_shapes),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * B * H * Tp * Sp * D,
+            bytes_accessed=(qf.size + kf.size * 2 + gf.size) * 2 * 2,
+            transcendentals=B * H * Tp * Sp,
+        ),
+        interpret=interpret,
+    )(*inputs)
+    dq = res[0][:, :T].reshape(B, T, H, D)
+    dk = res[1][:, :S].reshape(B, S, H, D)
+    dv = res[2][:, :S].reshape(B, S, H, D)
+    if not had_bias:
+        return dq, dk, dv, None
+    # ds is the grad wrt the NATURAL-domain logits (p*(dp-delta)); bias
+    # enters those logits with coefficient 1, so dbias needs no log2(e)
+    # factor despite the pre-scaled kernel input.
+    dbias = res[3][:, :, :T, :S]
+    return dq, dk, dv, dbias
+
+
 def _vit_ref(q, k, v, bias, scale):
     logits = jnp.einsum(
         "bthd,bshd->bhts", q * scale, k, preferred_element_type=jnp.float32
@@ -702,6 +918,19 @@ def _vit_fwd(q, k, v, bias, scale, interpret=False):
 
 def _vit_bwd(scale, interpret, res, g):
     q, k, v, bias = res
+    B, T, H, D = q.shape
+    S = k.shape[1]
+    bias_h = 0 if bias is None else bias.shape[1]
+    if (
+        not os.environ.get("UNILM_TPU_ENCODER_DENSE_BWD")
+        and _vit_bwd_profitable(B, H, T, S, D, bias_h, q.dtype.itemsize)
+    ):
+        dq, dk, dv, dbias = _vit_backward(q, k, v, bias, g, scale, interpret)
+        if bias is None:
+            return dq, dk, dv, None
+        return dq, dk, dv, dbias[
+            :, :, : bias.shape[2], : bias.shape[3]
+        ].astype(bias.dtype)
     if bias is None:
         _, vjp = jax.vjp(lambda q, k, v: _vit_ref(q, k, v, None, scale), q, k, v)
         return (*vjp(g), None)
@@ -777,7 +1006,9 @@ def _onepass_kernel(
                 **_dot_kwargs(q_ref.dtype),
             )
             o_ref[0, h] = (o / l).astype(o_ref.dtype)
-            lse_ref[0, h] = (m + jnp.log2(l)) * 0.6931471805599453
+            # lane-major [B, H, Tp] lse (see _flash_kernel): one (Tp,1)
+            # transpose per head
+            lse_ref[0, h] = jnp.transpose((m + jnp.log2(l)) * 0.6931471805599453)[0]
             continue
         s = jnp.where(keep, s, NEG_INF)
         m = jnp.max(s, axis=1, keepdims=True)
@@ -789,9 +1020,9 @@ def _onepass_kernel(
             **_dot_kwargs(q_ref.dtype),
         )
         o_ref[0, h] = (o / jnp.where(l > 0.0, l, 1.0)).astype(o_ref.dtype)
-        lse_ref[0, h] = jnp.where(
-            l > 0.0, m + jnp.log(jnp.maximum(l, 1e-37)), 0.0
-        )
+        lse_ref[0, h] = jnp.transpose(
+            jnp.where(l > 0.0, m + jnp.log(jnp.maximum(l, 1e-37)), 0.0)
+        )[0]
 
 
 def _flash_forward_onepass(
@@ -858,12 +1089,12 @@ def _flash_forward_onepass(
             in_specs=in_specs,
             out_specs=(
                 pl.BlockSpec((1, H, Tp, D), lambda b, *_: (b, 0, 0, 0)),
-                pl.BlockSpec((1, H, Tp, 1), lambda b, *_: (b, 0, 0, 0)),
+                pl.BlockSpec((1, H, Tp), lambda b, *_: (b, 0, 0)),
             ),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, H, Tp, D), q.dtype),
-            jax.ShapeDtypeStruct((B, H, Tp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, Tp), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -875,7 +1106,7 @@ def _flash_forward_onepass(
         ),
         interpret=interpret,
     )(q_offset, limit, *inputs)
-    return out[:, :, :T, :], lse[:, :, :T, 0]
+    return out[:, :, :T, :], lse[:, :, :T]
 
 
 # VMEM budget for choosing the one-pass kernel (bytes; ~half of 16 MB VMEM,
@@ -958,18 +1189,34 @@ def _flash_fwd(q, k, v, bias, mask, q_offset, limit, causal, window, block_q,
     return out, (q, k, v, bias, mask, q_offset, limit, out, lse)
 
 
+def _lane_col(ref, h):
+    """Column h of a (1, bq, H) row-stat block as (bq, 1), via one-hot
+    lane reduce (dynamic lane indexing is Mosaic-illegal)."""
+    blk = ref[0]
+    sel = jax.lax.broadcasted_iota(jnp.int32, blk.shape, 1) == h
+    return jnp.sum(jnp.where(sel, blk, 0.0), axis=1, keepdims=True)
+
+
 def _bwd_dq_kernel(
     qoff_ref, limit_ref,
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     *rest,
     causal: bool, window: int, has_bias: bool, has_mask: bool,
-    block_q: int, block_k: int,
+    block_q: int, block_k: int, bias_acc_b: bool = False, acc_nk: int = 0,
 ):
     """dq (and per-block dbias) — grid (B, H, nq, nk), k-block innermost.
 
     Split bodies like the forward: fully-visible blocks take a mask-free
     path (the kernels are VPU-bound at small D; iota/compare/where masking
-    nearly doubles the plane passes)."""
+    nearly doubles the plane passes).
+
+    bias_acc_b mode (grid (H, nq, B, nk), batch third): the bias is
+    broadcast over batch ([1, H, T, S] rel-pos tables — BEiT/DiT/LayoutLMv3
+    training), so dbias must SUM over B. A [block_q, Sp] VMEM row
+    accumulator collects ds across every (b, j) step for the current (h, i)
+    and flushes once at the last step — without this, broadcast-bias
+    training falls back to a dense XLA backward that materializes the
+    [B, H, T, S] logits (1.17 GB/layer at BEiT-B batch 512)."""
     idx = 0
     bias_ref = mask_ref = None
     if has_bias:
@@ -978,17 +1225,33 @@ def _bwd_dq_kernel(
         mask_ref = rest[idx]; idx += 1
     if has_bias:
         dq_ref, dbias_ref, acc_ref = rest[idx], rest[idx + 1], rest[idx + 2]
+        dbias_acc = rest[idx + 3] if bias_acc_b else None
     else:
         dq_ref, acc_ref = rest[idx], rest[idx + 1]
         dbias_ref = None
 
-    i = pl.program_id(2)
+    if bias_acc_b:
+        h = pl.program_id(0)
+        i = pl.program_id(1)
+        b = pl.program_id(2)
+        nb = pl.num_programs(2)
+    else:
+        h = pl.program_id(1)
+        i = pl.program_id(2)
+        b = nb = None
     j = pl.program_id(3)
     nk = pl.num_programs(3)
     qoff = qoff_ref[0]
     limit = limit_ref[0]
     r0 = qoff + i * block_q
     c0 = j * block_k
+
+    # lse/delta arrive TRANSPOSED [B, Tp, H] (compact HBM tiling — the
+    # natural [B, H, Tp, 1] layout tile-pads 128x, 600 MB/layer at BEiT-B
+    # batch 512). Column h of the (bq, H) block is extracted with a one-hot
+    # lane reduce: pure VPU, no Mosaic relayout.
+    lse_col = _lane_col(lse_ref, h)
+    delta_col = _lane_col(delta_ref, h)
 
     @pl.when(j == 0)
     def _init():
@@ -1025,8 +1288,16 @@ def _bwd_dq_kernel(
             preferred_element_type=jnp.float32,
             **_dot_kwargs(q_ref.dtype),
         )
-        ds = p * (dp - delta_ref[0, 0])
-        if has_bias:
+        ds = p * (dp - delta_col)
+        if has_bias and bias_acc_b:
+            # single k-block: static full-width store (blocks clamp to
+            # non-128-multiples at short S, where dynamic column offsets
+            # are Mosaic-illegal); multi-block requires block_k % 128 == 0
+            # (guaranteed by the host-side bias_acc_b gate).
+            col = slice(None) if acc_nk == 1 else pl.ds(j * block_k, block_k)
+            prev = jnp.where(b == 0, 0.0, dbias_acc[:, col])
+            dbias_acc[:, col] = prev + ds
+        elif has_bias:
             dbias_ref[0, 0] = ds
         acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
             ds.astype(k_ref.dtype), k_ref[0, 0], (((1,), (0,)), ((), ())),
@@ -1037,7 +1308,7 @@ def _bwd_dq_kernel(
     if not has_mask:
         @pl.when(full)
         def _body_fast():
-            _grads(jnp.exp(_compute_s() - lse_ref[0, 0]))
+            _grads(jnp.exp(_compute_s() - lse_col))
 
     @pl.when(jnp.logical_and(run, jnp.logical_not(full)))
     def _body_masked():
@@ -1051,9 +1322,18 @@ def _bwd_dq_kernel(
             keep = jnp.logical_and(keep, rows - cols < window)
         if has_mask:
             keep = jnp.logical_and(keep, mask_ref[0, 0, :][None, :] != 0)
-        _grads(jnp.where(keep, jnp.exp(s - lse_ref[0, 0]), 0.0))
+        _grads(jnp.where(keep, jnp.exp(s - lse_col), 0.0))
 
-    if has_bias:
+    if has_bias and bias_acc_b:
+        @pl.when(jnp.logical_and(jnp.logical_not(run), b == 0))
+        def _zero_dbias_col():
+            col = slice(None) if acc_nk == 1 else pl.ds(j * block_k, block_k)
+            dbias_acc[:, col] = jnp.zeros((block_q, block_k), jnp.float32)
+
+        @pl.when(jnp.logical_and(b == nb - 1, j == nk - 1))
+        def _finish_bias():
+            dbias_ref[0, 0] = dbias_acc[:]
+    elif has_bias:
         @pl.when(jnp.logical_not(run))
         def _zero_dbias():
             dbias_ref[0, 0] = jnp.zeros_like(dbias_ref[0, 0])
@@ -1079,6 +1359,7 @@ def _bwd_dkv_kernel(
         mask_ref = rest[idx]; idx += 1
     dk_ref, dv_ref, dk_acc, dv_acc = rest[idx : idx + 4]
 
+    h = pl.program_id(1)
     j = pl.program_id(2)  # k block
     i = pl.program_id(3)  # q block (inner)
     nq = pl.num_programs(3)
@@ -1087,6 +1368,10 @@ def _bwd_dkv_kernel(
 
     r0 = qoff + i * block_q
     c0 = j * block_k
+
+    # transposed [B, Tp, H] row stats — see _bwd_dq_kernel
+    lse_col = _lane_col(lse_ref, h)
+    delta_col = _lane_col(delta_ref, h)
 
     @pl.when(i == 0)
     def _init():
@@ -1130,7 +1415,7 @@ def _bwd_dkv_kernel(
             preferred_element_type=jnp.float32,
             **_dot_kwargs(q_ref.dtype),
         )
-        ds = p * (dp - delta_ref[0, 0])
+        ds = p * (dp - delta_col)
         # dk += ds^T q   (q is pre-scaled, so this is grad wrt unscaled k)
         dk_acc[:] = dk_acc[:] + jax.lax.dot_general(
             ds.astype(q_ref.dtype), q_ref[0, 0], (((0,), (0,)), ((), ())),
@@ -1141,7 +1426,7 @@ def _bwd_dkv_kernel(
     if not has_mask:
         @pl.when(full)
         def _body_fast():
-            _grads(jnp.exp(_compute_s() - lse_ref[0, 0]))
+            _grads(jnp.exp(_compute_s() - lse_col))
 
     @pl.when(jnp.logical_and(run, jnp.logical_not(full)))
     def _body_masked():
@@ -1155,7 +1440,7 @@ def _bwd_dkv_kernel(
             keep = jnp.logical_and(keep, rows - cols < window)
         if has_mask:
             keep = jnp.logical_and(keep, mask_ref[0, 0, :][None, :] != 0)
-        _grads(jnp.where(keep, jnp.exp(s - lse_ref[0, 0]), 0.0))
+        _grads(jnp.where(keep, jnp.exp(s - lse_col), 0.0))
 
     @pl.when(i == nq - 1)
     def _finish():
@@ -1171,10 +1456,7 @@ def _flash_backward_pallas(
     S = k.shape[2]
     Tp = _cdiv(T, block_q) * block_q
     Sp = _cdiv(S, block_k) * block_k
-    delta = jnp.sum(
-        g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1, keepdims=True
-    )
-    lse = lse[..., None]
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
 
     def padT(x):
         return x if x.shape[2] == Tp else jnp.pad(
@@ -1186,8 +1468,13 @@ def _flash_backward_pallas(
             x, ((0, 0), (0, 0), (0, Sp - x.shape[2])) + ((0, 0),) * (x.ndim - 3)
         )
 
-    qp, gp, lsep, deltap = padT(q), padT(g), padT(lse), padT(delta)
+    qp, gp = padT(q), padT(g)
     kp, vp = padS(k), padS(v)
+    # Row stats go in TRANSPOSED, [B, Tp, H]: the natural [B, H, Tp, 1]
+    # operand layout tile-pads the minor dim 1 -> 128 in HBM (600 MB/layer
+    # at BEiT-B batch 512). Kernels select column h with a one-hot reduce.
+    lsep = jnp.transpose(padT(lse), (0, 2, 1))
+    deltap = jnp.transpose(padT(delta), (0, 2, 1))
 
     has_bias = bias is not None
     has_mask = mask is not None
@@ -1215,14 +1502,14 @@ def _flash_backward_pallas(
         if order == "qk":
             qi = lambda b, h, i, j, *_: (b, h, i, 0)
             ki = lambda b, h, i, j, *_: (b, h, j, 0)
-            qr = lambda b, h, i, j, *_: (b, h, i, 0)
+            qr = lambda b, h, i, j, *_: (b, i, 0)
             bi = lambda b, h, i, j, *_, bb=bb, hb=hb: (
                 b if bb else 0, h if hb else 0, i, j)
             mi = lambda b, h, i, j, *_: (b, 0, j)
         else:
             qi = lambda b, h, j, i, *_: (b, h, i, 0)
             ki = lambda b, h, j, i, *_: (b, h, j, 0)
-            qr = lambda b, h, j, i, *_: (b, h, i, 0)
+            qr = lambda b, h, j, i, *_: (b, i, 0)
             bi = lambda b, h, j, i, *_, bb=bb, hb=hb: (
                 b if bb else 0, h if hb else 0, i, j)
             mi = lambda b, h, j, i, *_: (b, 0, j)
@@ -1231,8 +1518,8 @@ def _flash_backward_pallas(
             pl.BlockSpec((1, 1, block_k, D), ki),   # k
             pl.BlockSpec((1, 1, block_k, D), ki),   # v
             pl.BlockSpec((1, 1, block_q, D), qi),   # dO
-            pl.BlockSpec((1, 1, block_q, 1), qr),   # lse
-            pl.BlockSpec((1, 1, block_q, 1), qr),   # delta
+            pl.BlockSpec((1, block_q, H), qr),      # lse  [B, Tp, H]
+            pl.BlockSpec((1, block_q, H), qr),      # delta
         ]
         extra = []
         if has_bias:
@@ -1244,31 +1531,73 @@ def _flash_backward_pallas(
         return sp, extra, qi, ki, bi
 
     # --- dq (+ dbias) ---
+    # Batch-broadcast bias ([1, H, T, S] rel-pos tables) with B > 1: dbias
+    # sums over batch, so the grid puts B third with a [block_q, Sp] VMEM
+    # row accumulator per (h, i). See _bwd_dq_kernel docstring.
+    bias_acc_b = (
+        has_bias and bias.shape[0] == 1 and B > 1
+        and (hb or H == 1)
+        and block_q * Sp * 4 <= _BIAS_ACC_VMEM_BUDGET
+        and (nk == 1 or block_k % 128 == 0)
+    )
     sp, extra, qi, ki, bi = specs("qk")
+    if bias_acc_b:
+        # index maps take grid ids (h, i, b, j)
+        qi = lambda h, i, b, j, *_: (b, h, i, 0)
+        ki = lambda h, i, b, j, *_: (b, h, j, 0)
+        qr = lambda h, i, b, j, *_: (b, i, 0)
+        bi = lambda h, i, b, j, *_, hb=hb: (0, h if hb else 0, i, j)
+        mi = lambda h, i, b, j, *_: (b, 0, j)
+        sp = [
+            pl.BlockSpec((1, 1, block_q, D), qi),   # q
+            pl.BlockSpec((1, 1, block_k, D), ki),   # k
+            pl.BlockSpec((1, 1, block_k, D), ki),   # v
+            pl.BlockSpec((1, 1, block_q, D), qi),   # dO
+            pl.BlockSpec((1, block_q, H), qr),      # lse  [B, Tp, H]
+            pl.BlockSpec((1, block_q, H), qr),      # delta
+        ]
+        sp.append(pl.BlockSpec((1, 1, block_q, block_k), bi))
+        if has_mask:
+            sp.append(pl.BlockSpec((1, 1, block_k), mi))
+        grid = (H, nq, B, nk)
+        semantics = ("parallel", "parallel", "arbitrary", "arbitrary")
+        dbias_spec = pl.BlockSpec(
+            (1, 1, block_q, Sp),
+            lambda h, i, b, j, *_, hb=hb: (0, h if hb else 0, i, 0))
+        scratch = [pltpu.VMEM((block_q, D), jnp.float32),
+                   pltpu.VMEM((block_q, Sp), jnp.float32)]
+    else:
+        grid = (B, H, nq, nk)
+        semantics = ("parallel", "parallel", "parallel", "arbitrary")
+        dbias_spec = pl.BlockSpec((1, 1, block_q, block_k), bi)
+        scratch = [pltpu.VMEM((block_q, D), jnp.float32)]
     out_shapes = [jax.ShapeDtypeStruct((B, H, Tp, D), q.dtype)]
-    out_specs = [pl.BlockSpec((1, 1, block_q, D), qi)]
+    out_specs = [pl.BlockSpec(
+        (1, 1, block_q, D),
+        (lambda h, i, b, j, *_: (b, h, i, 0)) if bias_acc_b else qi)]
     if has_bias:
         out_shapes.append(
             jax.ShapeDtypeStruct(
                 (bias.shape[0], bias.shape[1], Tp, Sp), jnp.float32
             )
         )
-        out_specs.append(pl.BlockSpec((1, 1, block_q, block_k), bi))
+        out_specs.append(dbias_spec)
     dq_out = pl.pallas_call(
         functools.partial(
             _bwd_dq_kernel, causal=causal, window=window, has_bias=has_bias,
             has_mask=has_mask, block_q=block_q, block_k=block_k,
+            bias_acc_b=bias_acc_b, acc_nk=nk,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(B, H, nq, nk),
+            grid=grid,
             in_specs=sp,
             out_specs=tuple(out_specs) if has_bias else out_specs[0],
-            scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+            scratch_shapes=scratch,
         ),
         out_shape=tuple(out_shapes) if has_bias else out_shapes[0],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            dimension_semantics=semantics,
         ),
         cost_estimate=pl.CostEstimate(
             flops=5 * B * H * Tp * Sp * D,
@@ -1324,14 +1653,22 @@ def _flash_backward_pallas(
 def _flash_bwd(causal, window, block_q, block_k, interpret, tri, full_kv, res, g):
     q, k, v, bias, mask, q_offset, limit, out, lse = res
     B, H = q.shape[0], q.shape[1]
-    # The Pallas backward emits dbias per (q-block, k-block) cell, so a
-    # broadcast bias dim would need a cross-grid reduction; fall back to
-    # the XLA recompute for that case (BEiT [1,H,T,S] tables at short T —
-    # dense backward is cheap there, and the fused-table path avoids a
-    # materialized bias altogether).
-    needs_reduce = bias is not None and (
-        (bias.shape[0] == 1 and B > 1) or (bias.shape[1] == 1 and H > 1)
-    )
+    # dbias with a broadcast dim needs a cross-grid reduction. The batch
+    # case ([1, H, T, S] rel-pos tables, B > 1) is handled in-kernel by the
+    # bias_acc_b row accumulator when Sp fits the VMEM budget; the remaining
+    # broadcast-head case (and oversized Sp) falls back to the XLA
+    # recompute.
+    needs_reduce = False
+    if bias is not None:
+        nk_ = _cdiv(k.shape[2], block_k)
+        Sp_ = nk_ * block_k
+        acc_ok = (bias.shape[0] == 1 and (bias.shape[1] > 1 or H == 1)
+                  and block_q * Sp_ * 4 <= _BIAS_ACC_VMEM_BUDGET
+                  and (nk_ == 1 or block_k % 128 == 0))
+        needs_reduce = (
+            (bias.shape[0] == 1 and B > 1 and not acc_ok)
+            or (bias.shape[1] == 1 and H > 1)
+        )
     if needs_reduce:
         def f(q, k, v, bias):
             return _ref_attention(q, k, v, bias, mask, q_offset, limit, causal, window)
