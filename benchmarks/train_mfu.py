@@ -204,6 +204,118 @@ def bench_gpt(args):
     }
 
 
+def bench_kosmos(args):
+    """Kosmos-2 grounded image-text pretrain step (the flagship workload,
+    kosmos-2/train.sh:1-52 + laion obj task): CLIP ViT-L/14 tower -> latent
+    -query resampler -> 64-feature splice into the 1.3B decoder, CE over the
+    text positions only (UniGPTLoss loss_mask, unigpt.py:24-70)."""
+    import optax
+
+    from unilm_tpu.models.kosmos import UniGPT, kosmos2
+    from unilm_tpu.ops.fused_ce import chunked_cross_entropy
+    from unilm_tpu.runtime.train import TrainState, make_train_step
+
+    T, mb, acc = args.seq, args.micro_batch, args.accum
+    pdt = jnp.bfloat16 if args.param_dtype == "bf16" else jnp.float32
+    kw = dict(dtype=jnp.bfloat16, param_dtype=pdt,
+              use_flash=not args.no_flash,
+              remat=not args.no_remat, remat_policy=args.remat_policy,
+              max_positions=max(T + 2, 2050))
+    if args.tiny:  # CPU smoke config
+        from unilm_tpu.models.kosmos import ClipVisionConfig
+        kw.update(embed_dim=64, num_layers=2, num_heads=4, ffn_dim=128,
+                  vocab_size=512, latent_query_num=8,
+                  clip=ClipVisionConfig(img_size=28, patch_size=14,
+                                        embed_dim=32, num_layers=2,
+                                        num_heads=2, ffn_dim=64,
+                                        dtype=jnp.bfloat16))
+    cfg = kosmos2(**kw)
+    model = UniGPT(cfg)
+    Q = cfg.latent_query_num
+    P = (cfg.clip.img_size // cfg.clip.patch_size) ** 2 + 1  # 257 (ViT-L/14)
+
+    tokens = jnp.ones((mb, T), jnp.int32)
+    images = jnp.ones((mb, cfg.clip.img_size, cfg.clip.img_size, 3), jnp.bfloat16)
+    # <s> <image> [64 placeholders] </image> caption... (train.sh:43-44 grid vocab)
+    img_mask = (jnp.arange(T)[None, :] >= 2) & (jnp.arange(T)[None, :] < 2 + Q)
+    img_mask = jnp.broadcast_to(img_mask, (mb, T))
+
+    t0 = time.time()
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), tokens, images,
+                                 img_mask)["params"]
+    jax.block_until_ready(params)
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    # component-wise model FLOPs: decoder over T, tower over P, resampler
+    # over Q queries x P kv
+    n_mm_dec = (count_matmul_params(params["decoder"])
+                + cfg.vocab_size * cfg.embed_dim)  # tied output projection
+    n_mm_img = count_matmul_params(params["img_model"])
+    n_mm_conn = count_matmul_params(params["img_connector"])
+    print(f"init: {time.time()-t0:.1f}s  params={n_params/1e9:.2f}B "
+          f"(decoder mm {n_mm_dec/1e9:.2f}B, tower mm {n_mm_img/1e6:.0f}M)",
+          flush=True)
+
+    tx = optax.adafactor(1e-4) if args.optimizer == "adafactor" else \
+        optax.adamw(1e-4, b1=0.9, b2=0.98, weight_decay=0.01)
+
+    def loss_fn(p, batch, rng):
+        feats = model.apply({"params": p}, batch["tokens"], batch["images"],
+                            batch["img_mask"], deterministic=True,
+                            return_features=True)
+        loss, denom = chunked_cross_entropy(
+            feats[:, :-1], p["embed_tokens"]["embedding"],
+            batch["tokens"][:, 1:],
+            mask=batch["loss_mask"][:, 1:], chunk=args.ce_chunk)
+        return loss / jnp.maximum(denom, 1.0), {"ntok": denom}
+
+    step_fn = make_train_step(loss_fn, tx, clip_grad_norm=1.0, microbatches=acc)
+    state = jax.jit(lambda p: TrainState.create(p, tx), donate_argnums=(0,))(params)
+    jax.block_until_ready(state.opt_state)
+
+    r = np.random.RandomState(0)
+    tok = np.asarray(r.randint(3, cfg.vocab_size - 1, size=(acc, mb, T)), np.int32)
+    lm = np.broadcast_to(~np.asarray(img_mask), (acc, mb, T)).astype(np.float32)
+    imgs = np.asarray(r.rand(acc, mb, cfg.clip.img_size, cfg.clip.img_size, 3))
+
+    def lead(x):
+        return jnp.asarray(x if acc > 1 else x[0])
+
+    batch = {"tokens": lead(tok),
+             "images": lead(imgs).astype(jnp.bfloat16),
+             "img_mask": lead(np.broadcast_to(np.asarray(img_mask),
+                                              (acc, mb, T))),
+             "loss_mask": lead(lm)}
+
+    multi = make_multi_step(step_fn, args.inner)
+    t0 = time.time()
+    rng = jax.random.PRNGKey(3)
+    med, times, loss = time_multi(multi, state, batch, rng, args.inner, args.steps)
+    print(f"compile+measure: {time.time()-t0:.1f}s", flush=True)
+
+    n_seq = mb * acc
+    flops = (
+        transformer_train_flops(n_mm_dec, n_seq * T, cfg.num_layers,
+                                cfg.embed_dim, T)
+        + transformer_train_flops(n_mm_img, n_seq * P, cfg.clip.num_layers,
+                                  cfg.clip.embed_dim, P)
+        # resampler: Q queries attending to P kv (approximate the attention
+        # term with the kv length)
+        + transformer_train_flops(n_mm_conn, n_seq * Q, 1, cfg.embed_dim, P)
+    )
+    peak = detect_peak()
+    return {
+        "workload": "kosmos2_pretrain", "batch": n_seq, "seq": T,
+        "image_tokens": Q, "tower_patches": P,
+        "microbatches": acc, "optimizer": args.optimizer,
+        "step_ms": round(med * 1e3, 1),
+        "tokens_per_s": round(n_seq * (T - 1) / med),
+        "images_per_s": round(n_seq / med),
+        "model_tflops_per_s": round(flops / med / 1e12, 1),
+        "mfu": round(flops / med / peak, 3), "loss": round(loss, 3),
+        "times_ms": [round(t * 1e3, 1) for t in sorted(times)],
+    }
+
+
 def bench_beit(args):
     import optax
 
@@ -266,7 +378,7 @@ def bench_beit(args):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--workload", choices=["gpt1p3b", "beit_b", "all"],
+    p.add_argument("--workload", choices=["gpt1p3b", "beit_b", "kosmos", "all"],
                    default="all")
     p.add_argument("--seq", type=int, default=2048)
     p.add_argument("--micro_batch", type=int, default=2)
@@ -280,6 +392,8 @@ def main():
                    help="chunked-vocab CE from features (ops/fused_ce.py) "
                         "instead of materializing [B,T,V] logits")
     p.add_argument("--ce_chunk", type=int, default=8192)
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny kosmos config (CPU smoke test of the harness)")
     p.add_argument("--no_flash", action="store_true",
                    help="ablation: XLA dot-product attention instead of the "
                         "Pallas flash fwd+bwd kernels")
@@ -302,6 +416,9 @@ def main():
         print(json.dumps(results[-1]), flush=True)
     if args.workload in ("beit_b", "all"):
         results.append(bench_beit(args))
+        print(json.dumps(results[-1]), flush=True)
+    if args.workload == "kosmos":
+        results.append(bench_kosmos(args))
         print(json.dumps(results[-1]), flush=True)
 
 

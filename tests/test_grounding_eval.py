@@ -107,3 +107,54 @@ def test_model_refcoco_emits_metric(tmp_path):
         "--dim", "32", "--layers", "1", "--heads", "2", "--clip_dim", "32",
     ])
     assert 0.0 <= res["accuracy"] <= 1.0
+
+
+# --------------------------------------------------------------------------- #
+# kosmos_demo (gradio_app.py equivalent)
+# --------------------------------------------------------------------------- #
+
+
+def test_demo_one_shot_parses_and_annotates(tmp_path, monkeypatch, capsys):
+    """Demo CLI: stubbed generator -> parse -> entity print + PIL overlay."""
+    import json
+
+    from unilm_tpu.cli import kosmos_demo
+    from unilm_tpu.data.grounding import box_tokens
+
+    markup = (
+        "An image of <phrase>a cat</phrase>"
+        + box_tokens((0.25, 0.25, 0.75, 0.75))
+        + " on <phrase>a mat</phrase>" + box_tokens((0.0, 0.5, 1.0, 1.0))
+    )
+    monkeypatch.setattr(
+        kosmos_demo, "model_generate", lambda a, t, recs, prefs: [markup]
+    )
+    out_png = tmp_path / "annot.png"
+    rc = kosmos_demo.main([
+        "--cpu", "--tokenizer", "bytes", "--json",
+        "--annotate", str(out_png),
+    ])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.splitlines()[0])
+    assert res["caption"] == "An image of a cat on a mat"
+    assert [e["phrase"] for e in res["entities"]] == ["a cat", "a mat"]
+    assert res["entities"][0]["boxes"][0] == [0.25, 0.25, 0.75, 0.75]
+    assert out_png.exists() and out_png.stat().st_size > 0
+
+
+def test_demo_repl(monkeypatch, capsys):
+    import io
+
+    from unilm_tpu.cli import kosmos_demo
+
+    monkeypatch.setattr(
+        kosmos_demo, "model_generate",
+        lambda a, t, recs, prefs: ["<phrase>dog</phrase>" + __import__(
+            "unilm_tpu.data.grounding", fromlist=["box_tokens"]
+        ).box_tokens((0.0, 0.0, 0.5, 0.5))],
+    )
+    monkeypatch.setattr("sys.stdin", io.StringIO("img.png\tA photo of\n"))
+    rc = kosmos_demo.main(["--cpu", "--tokenizer", "bytes", "--repl"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "dog" in out and "0.500" in out
