@@ -362,3 +362,31 @@ def test_blocked_kernel_forced(monkeypatch, causal, window, kv, qoff, square):
     ref = reference(q, k, v, causal=causal, window=window,
                     kv_len=kv, q_offset=qoff or 0)
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("causal,T,S,with_mask", [
+    (True, 96, 96, False),
+    (False, 64, 128, True),
+    (True, 256, 256, False),   # multi-block, exercises the dk/dv row slices
+])
+def test_grad_fused_onepass_backward(monkeypatch, causal, T, S, with_mask):
+    """Opt-in fused dq+dk+dv backward (UNILM_TPU_FUSED_BWD) vs reference."""
+    monkeypatch.setenv("UNILM_TPU_FUSED_BWD", "1")
+    q, k, v = rand(0, B, T, H, D), rand(1, B, S, H, D), rand(2, B, S, H, D)
+    mask = None
+    if with_mask:
+        mask = jnp.arange(S)[None, :] < (S - 16)
+        mask = jnp.broadcast_to(mask, (B, S))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(
+            fa.flash_attention(q, k, v, causal=causal, key_padding_mask=mask,
+                               interpret=True, block_q=64, block_k=64) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(reference(q, k, v, causal=causal, kpm=mask) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(a, b, atol=5e-4, rtol=1e-3)

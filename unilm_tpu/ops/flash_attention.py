@@ -1448,6 +1448,238 @@ def _bwd_dkv_kernel(
         dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
 
 
+# Scoped-VMEM target for the fused one-pass backward (per-core limit is
+# 16 MB): dk/dv accumulators + double-buffered input blocks + score planes.
+_FUSED_VMEM_TARGET = 13 * 2**20
+
+
+def _fused_bwd_blocks(S, D, block_q, block_k):
+    """Backward block sizes for the fused kernel: start from the forward's
+    blocks and halve the larger until the VMEM estimate fits (the backward
+    is free to re-block — its lse/delta residuals are full [B, H, T]).
+    Returns (bq, bk) or None when even 256-blocks don't fit (huge S)."""
+    if S * D * 4 * 2 > 2 * 2**20:
+        # dk/dv accumulators past 2 MB leave too little for the score
+        # planes (measured: Sp=8192/D=64 blows scoped VMEM even at
+        # 512-blocks) — long-context backward stays on the split kernels.
+        return None
+    bq, bk = min(block_q, 1024), min(block_k, 1024)
+    while True:
+        Sp = _cdiv(S, bk) * bk
+        est = (
+            2 * Sp * D * 4              # dk/dv resident f32 accumulators
+            + 4 * bq * bk * 4           # score/softmax/dp/ds planes f32
+            + 2 * 2 * (bq + bk) * D * 2 # double-buffered bf16 in blocks
+            + 2 * bq * D * 4            # dq out block f32
+        )
+        if est <= _FUSED_VMEM_TARGET:
+            return bq, bk
+        if bq <= 256 and bk <= 256:
+            return None
+        if bq >= bk and bq > 256:
+            bq //= 2
+        else:
+            bk //= 2
+
+
+def _bwd_fused_kernel(
+    qoff_ref, limit_ref,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    *rest,
+    causal: bool, window: int, has_mask: bool,
+    block_q: int, block_k: int,
+):
+    """One-pass dq+dk+dv — grid (B, H, nq, nk), k-block innermost.
+
+    The two-kernel backward recomputes the score/softmax planes twice (7
+    matmul planes total) and streams q/k/v/dO from HBM twice. Here dk and dv
+    accumulate in place in their VMEM-resident [Sp, D] f32 output blocks
+    (constant index map per (b, h)), so one recompute serves all three
+    grads: 5 matmul planes, half the HBM traffic. Used when bias is None and
+    2*Sp*D*4 fits _FUSED_KV_VMEM_BUDGET; split fast/masked bodies as in the
+    two-kernel path."""
+    idx = 0
+    mask_ref = None
+    if has_mask:
+        mask_ref = rest[idx]; idx += 1
+    dq_ref, dk_ref, dv_ref = rest[idx : idx + 3]
+
+    h = pl.program_id(1)
+    i = pl.program_id(2)
+    j = pl.program_id(3)
+    qoff = qoff_ref[0]
+    limit = limit_ref[0]
+    r0 = qoff + i * block_q
+    c0 = j * block_k
+
+    # transposed [B, Tp, H] row stats — see _bwd_dq_kernel
+    lse_col = _lane_col(lse_ref, h)
+    delta_col = _lane_col(delta_ref, h)
+
+    @pl.when(j == 0)
+    def _init_dq():
+        dq_ref[0, 0] = jnp.zeros_like(dq_ref[0, 0])
+
+    @pl.when(jnp.logical_and(i == 0, j == 0))
+    def _init_dkv():
+        dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
+        dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
+
+    run = c0 < limit
+    if causal:
+        run = jnp.logical_and(run, c0 <= r0 + block_q - 1)
+    if window > 0:
+        run = jnp.logical_and(run, c0 + block_k - 1 >= r0 - window + 1)
+
+    full = jnp.zeros((), bool)
+    if not has_mask:
+        full = jnp.logical_and(run, c0 + block_k <= limit)
+        if causal:
+            full = jnp.logical_and(full, c0 + block_k - 1 <= r0)
+        if window > 0:
+            full = jnp.logical_and(full, r0 + block_q - 1 - c0 < window)
+
+    def _compute_s():
+        return jax.lax.dot_general(
+            q_ref[0, 0], k_ref[0, 0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            **_dot_kwargs(q_ref.dtype),
+        )
+
+    def _grads(p):
+        do = do_ref[0, 0].astype(jnp.float32)
+        row = pl.ds(j * block_k, block_k)
+        # dv[j] += p^T dO
+        dv_ref[0, 0, row] = dv_ref[0, 0, row] + jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            **_dot_kwargs(q_ref.dtype),
+        )
+        dp = jax.lax.dot_general(
+            do, v_ref[0, 0].astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            **_dot_kwargs(q_ref.dtype),
+        )
+        ds = p * (dp - delta_col)
+        dsc = ds.astype(q_ref.dtype)
+        # dq[i] += ds k   (q pre-scaled: grads are wrt unscaled k)
+        dq_ref[0, 0] = dq_ref[0, 0] + jax.lax.dot_general(
+            dsc, k_ref[0, 0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            **_dot_kwargs(q_ref.dtype),
+        )
+        # dk[j] += ds^T q
+        dk_ref[0, 0, row] = dk_ref[0, 0, row] + jax.lax.dot_general(
+            dsc, q_ref[0, 0], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            **_dot_kwargs(q_ref.dtype),
+        )
+
+    if not has_mask:
+        @pl.when(full)
+        def _body_fast():
+            _grads(jnp.exp(_compute_s() - lse_col))
+
+    @pl.when(jnp.logical_and(run, jnp.logical_not(full)))
+    def _body_masked():
+        s = _compute_s()
+        rows = r0 + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        cols = c0 + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        keep = cols < limit
+        if causal:
+            keep = jnp.logical_and(keep, cols <= rows)
+        if window > 0:
+            keep = jnp.logical_and(keep, rows - cols < window)
+        if has_mask:
+            keep = jnp.logical_and(keep, mask_ref[0, 0, :][None, :] != 0)
+        _grads(jnp.where(keep, jnp.exp(s - lse_col), 0.0))
+
+
+def _flash_backward_fused(
+    q, k, v, mask, q_offset, limit, lse, delta, g,
+    *, causal, window, block_q, block_k, interpret,
+):
+    """Single-pallas-call backward (no bias). Returns (dq, dk, dv)."""
+    B, H, T, D = q.shape
+    S = k.shape[2]
+    Tp = _cdiv(T, block_q) * block_q
+    Sp = _cdiv(S, block_k) * block_k
+
+    def padT(x):
+        return x if x.shape[2] == Tp else jnp.pad(
+            x, ((0, 0), (0, 0), (0, Tp - x.shape[2])) + ((0, 0),) * (x.ndim - 3)
+        )
+
+    def padS(x):
+        return x if x.shape[2] == Sp else jnp.pad(
+            x, ((0, 0), (0, 0), (0, Sp - x.shape[2])) + ((0, 0),) * (x.ndim - 3)
+        )
+
+    qp, gp = padT(q), padT(g)
+    kp, vp = padS(k), padS(v)
+    lsep = jnp.transpose(padT(lse), (0, 2, 1))
+    deltap = jnp.transpose(padT(delta), (0, 2, 1))
+
+    nq, nk = Tp // block_q, Sp // block_k
+    qi = lambda b, h, i, j, *_: (b, h, i, 0)
+    ki = lambda b, h, i, j, *_: (b, h, j, 0)
+    qr = lambda b, h, i, j, *_: (b, i, 0)
+    kv_full = lambda b, h, i, j, *_: (b, h, 0, 0)
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, D), qi),   # q
+        pl.BlockSpec((1, 1, block_k, D), ki),   # k
+        pl.BlockSpec((1, 1, block_k, D), ki),   # v
+        pl.BlockSpec((1, 1, block_q, D), qi),   # dO
+        pl.BlockSpec((1, block_q, H), qr),      # lse  [B, Tp, H]
+        pl.BlockSpec((1, block_q, H), qr),      # delta
+    ]
+    inputs = [qp, kp, vp, gp, lsep, deltap]
+    has_mask = mask is not None
+    if has_mask:
+        maskp = mask.astype(jnp.int32)
+        if maskp.shape[1] != Sp:
+            maskp = jnp.pad(maskp, ((0, 0), (0, Sp - maskp.shape[1])))
+        in_specs.append(
+            pl.BlockSpec((1, 1, block_k), lambda b, h, i, j, *_: (b, 0, j)))
+        inputs.append(maskp[:, None, :])
+
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_fused_kernel, causal=causal, window=window,
+            has_mask=has_mask, block_q=block_q, block_k=block_k,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, H, nq, nk),
+            in_specs=in_specs,
+            out_specs=(
+                pl.BlockSpec((1, 1, block_q, D), qi),
+                pl.BlockSpec((1, 1, Sp, D), kv_full),
+                pl.BlockSpec((1, 1, Sp, D), kv_full),
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, Tp, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, Sp, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, Sp, D), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=5 * B * H * Tp * Sp * D,
+            bytes_accessed=(qp.size + kp.size * 2 + gp.size) * 2,
+            transcendentals=B * H * Tp * Sp,
+        ),
+        interpret=interpret,
+    )(q_offset, limit, *inputs)
+    return (
+        dq[:, :, :T, :].astype(q.dtype),
+        dk[:, :, :S, :].astype(k.dtype),
+        dv[:, :, :S, :].astype(v.dtype),
+    )
+
+
 def _flash_backward_pallas(
     q, k, v, bias, mask, q_offset, limit, out, lse, g,
     *, causal, window, block_q, block_k, interpret,
@@ -1674,6 +1906,27 @@ def _flash_bwd(causal, window, block_q, block_k, interpret, tri, full_kv, res, g
             return _ref_attention(q, k, v, bias, mask, q_offset, limit, causal, window)
         _, vjp = jax.vjp(f, q, k, v, bias)
         dq, dk, dv, dbias = vjp(g)
+    elif (
+        bias is None
+        and os.environ.get("UNILM_TPU_FUSED_BWD")
+        and (fblk := _fused_bwd_blocks(k.shape[2], q.shape[3], block_q, block_k))
+        is not None
+    ):
+        # OPT-IN: measured SLOWER than the split kernels at D=64 (33 vs 73
+        # TF/s on the 1.3B GPT shape — the per-step dk/dv read-modify-write
+        # is VPU-bound at small D); roughly ties at D=128. Kept for
+        # D>=128-dominant workloads and as the reference one-pass schedule.
+        # See PERFORMANCE.md "fused one-pass backward".
+        # one-pass fused backward: dk/dv accumulate in VMEM-resident output
+        # blocks, one softmax recompute serves dq+dk+dv
+        delta = jnp.sum(
+            g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+        dq, dk, dv = _flash_backward_fused(
+            q, k, v, mask, q_offset, limit, lse, delta, g,
+            causal=causal, window=window, block_q=fblk[0], block_k=fblk[1],
+            interpret=interpret,
+        )
+        dbias = None
     else:
         dq, dk, dv, dbias = _flash_backward_pallas(
             q, k, v, bias, mask, q_offset, limit, out, lse, g,
