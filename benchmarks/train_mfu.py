@@ -376,9 +376,205 @@ def bench_beit(args):
     }
 
 
+def bench_beit_pretrain(args):
+    """BEiT-B masked-image-modeling pretrain step (beit/run_beit_pretraining.py +
+    engine_for_pretraining.py:22): mask-token substitution at ~40% blockwise-
+    masked patches, CE over the 8192-entry visual codebook at masked positions."""
+    import optax
+
+    from unilm_tpu.data.masking import MaskingGenerator
+    from unilm_tpu.models.beit import BeitForMaskedImageModeling, beit_base_patch16_224
+    from unilm_tpu.runtime.train import TrainState, cross_entropy_loss, make_train_step
+
+    B = args.batch
+    cfg = beit_base_patch16_224(dtype=jnp.bfloat16, drop_path_rate=0.1,
+                                use_shared_rel_pos_bias=True,
+                                use_rel_pos_bias=False,
+                                remat=not args.no_remat and B > 512,
+                                remat_policy=args.remat_policy)
+    model = BeitForMaskedImageModeling(cfg)
+    n_patch = (cfg.img_size // cfg.patch_size) ** 2
+    gen = MaskingGenerator((14, 14), num_masking_patches=75,
+                           rng=np.random.default_rng(0))
+    rng0 = np.random.RandomState(0)
+    masks = np.stack([gen().reshape(-1) for _ in range(B)]).astype(bool)
+    imgs = jnp.asarray(rng0.rand(B, 224, 224, 3), jnp.bfloat16)
+    bool_masked = jnp.asarray(masks)
+    targets = jnp.asarray(rng0.randint(0, cfg.vocab_size, (B, n_patch)), jnp.int32)
+
+    t0 = time.time()
+    params = jax.jit(lambda r: model.init(r, imgs, bool_masked, True))(
+        jax.random.PRNGKey(0))["params"]
+    jax.block_until_ready(params)
+    n_mm = count_matmul_params(params)
+    print(f"init: {time.time()-t0:.1f}s  params="
+          f"{sum(x.size for x in jax.tree.leaves(params))/1e6:.1f}M", flush=True)
+
+    tx = optax.adamw(1.5e-3, b1=0.9, b2=0.98, weight_decay=0.05)
+
+    def loss_fn(p, batch, rng):
+        logits = model.apply({"params": p}, batch["x"], batch["mask"], False,
+                             rngs={"dropout": rng})
+        loss, denom = cross_entropy_loss(
+            logits, batch["y"], mask=batch["mask"].astype(jnp.float32))
+        return loss / denom, {}
+
+    step_fn = make_train_step(loss_fn, tx, clip_grad_norm=3.0)
+    state = jax.jit(lambda p: TrainState.create(p, tx), donate_argnums=(0,))(params)
+    batch = {"x": imgs, "mask": bool_masked, "y": targets}
+    rng = jax.random.PRNGKey(2)
+    multi = make_multi_step(step_fn, args.inner)
+    t0 = time.time()
+    med, times, loss = time_multi(multi, state, batch, rng, args.inner, args.steps)
+    print(f"compile+measure: {time.time()-t0:.1f}s", flush=True)
+    T = n_patch + 1
+    flops = transformer_train_flops(n_mm, B * T, cfg.num_layers, cfg.embed_dim, T)
+    peak = detect_peak()
+    return {
+        "workload": "beit_b_pretrain", "batch": B, "seq": T,
+        "masked_patches": 75,
+        "step_ms": round(med * 1e3, 1),
+        "images_per_s": round(B / med),
+        "model_tflops_per_s": round(flops / med / 1e12, 1),
+        "mfu": round(flops / med / peak, 3), "loss": round(loss, 3),
+        "times_ms": [round(t * 1e3, 1) for t in sorted(times)],
+    }
+
+
+def bench_layoutlmv3(args):
+    """LayoutLMv3-B FUNSD token-classification fine-tune step
+    (layoutlmv3/examples/run_funsd_cord.py:455 via HF Trainer): text T=512 +
+    2D bbox embeddings + 197 visual patches through the fused encoder with
+    1D/2D bucketed relative bias, CE over BIO labels."""
+    import optax
+
+    from unilm_tpu.models.layoutlmv3 import (LayoutLMv3ForTokenClassification,
+                                             layoutlmv3_base)
+    from unilm_tpu.runtime.train import TrainState, cross_entropy_loss, make_train_step
+
+    B, T = args.batch, 512
+    cfg = layoutlmv3_base(dtype=jnp.bfloat16, num_labels=7,
+                          remat=not args.no_remat and B > 32,
+                          remat_policy=args.remat_policy)
+    model = LayoutLMv3ForTokenClassification(cfg)
+    rng0 = np.random.RandomState(0)
+    ids = jnp.asarray(rng0.randint(3, cfg.vocab_size - 1, (B, T)), jnp.int32)
+    xy = rng0.randint(0, 900, (B, T, 2, 2))
+    xy.sort(axis=2)
+    bbox = jnp.asarray(xy.transpose(0, 1, 3, 2).reshape(B, T, 4), jnp.int32)
+    imgs = jnp.asarray(rng0.rand(B, 224, 224, 3), jnp.bfloat16)
+    labels = jnp.asarray(rng0.randint(0, 7, (B, T)), jnp.int32)
+
+    t0 = time.time()
+    params = jax.jit(lambda r: model.init(r, ids, bbox, None, imgs))(
+        jax.random.PRNGKey(0))["params"]
+    jax.block_until_ready(params)
+    n_mm = count_matmul_params(params)
+    print(f"init: {time.time()-t0:.1f}s  params="
+          f"{sum(x.size for x in jax.tree.leaves(params))/1e6:.1f}M", flush=True)
+
+    tx = optax.adamw(1e-5, weight_decay=0.01)
+
+    def loss_fn(p, batch, rng):
+        logits = model.apply({"params": p}, batch["ids"], batch["bbox"], None,
+                             batch["imgs"], deterministic=False,
+                             rngs={"dropout": rng})
+        loss, denom = cross_entropy_loss(logits, batch["y"])
+        return loss / denom, {}
+
+    step_fn = make_train_step(loss_fn, tx, clip_grad_norm=1.0)
+    state = jax.jit(lambda p: TrainState.create(p, tx), donate_argnums=(0,))(params)
+    batch = {"ids": ids, "bbox": bbox, "imgs": imgs, "y": labels}
+    rng = jax.random.PRNGKey(2)
+    multi = make_multi_step(step_fn, args.inner)
+    t0 = time.time()
+    med, times, loss = time_multi(multi, state, batch, rng, args.inner, args.steps)
+    print(f"compile+measure: {time.time()-t0:.1f}s", flush=True)
+    S = T + cfg.visual_len  # full fused sequence (text + cls + patches)
+    flops = transformer_train_flops(n_mm, B * S, cfg.num_layers, cfg.hidden_size, S)
+    peak = detect_peak()
+    return {
+        "workload": "layoutlmv3_funsd", "batch": B, "seq": S,
+        "step_ms": round(med * 1e3, 1),
+        "docs_per_s": round(B / med),
+        "model_tflops_per_s": round(flops / med / 1e12, 1),
+        "mfu": round(flops / med / peak, 3), "loss": round(loss, 3),
+        "times_ms": [round(t * 1e3, 1) for t in sorted(times)],
+    }
+
+
+def bench_trocr(args):
+    """TrOCR-base OCR train step (fairseq-train text_recognition, trocr/task.py):
+    DeiT-base 384^2 encoder + RoBERTa-large-dim decoder, teacher-forced CE over
+    a 50k vocab at T=128 target tokens."""
+    import optax
+
+    from unilm_tpu.models.trocr import TrOCRModel, trocr_base
+    from unilm_tpu.runtime.train import TrainState, cross_entropy_loss, make_train_step
+
+    B, T = args.batch, 128
+    cfg = trocr_base(dtype=jnp.bfloat16)
+    model = TrOCRModel(cfg)
+    rng0 = np.random.RandomState(0)
+    imgs = jnp.asarray(rng0.rand(B, cfg.img_size, cfg.img_size, 3), jnp.bfloat16)
+    tok = jnp.asarray(rng0.randint(3, cfg.vocab_size - 1, (B, T + 1)), jnp.int32)
+
+    t0 = time.time()
+    params = jax.jit(lambda r: model.init(r, imgs, tok[:, :-1]))(
+        jax.random.PRNGKey(0))["params"]
+    jax.block_until_ready(params)
+    n_mm = count_matmul_params(params)
+    n_mm_enc = count_matmul_params(params["vit"])
+    n_mm_dec = n_mm - n_mm_enc
+    print(f"init: {time.time()-t0:.1f}s  params="
+          f"{sum(x.size for x in jax.tree.leaves(params))/1e6:.1f}M", flush=True)
+
+    tx = optax.adamw(2e-5, weight_decay=0.01)
+
+    def loss_fn(p, batch, rng):
+        logits = model.apply({"params": p}, batch["imgs"], batch["tok"][:, :-1],
+                             deterministic=True)
+        loss, denom = cross_entropy_loss(logits, batch["tok"][:, 1:],
+                                         label_smoothing=0.1)
+        return loss / denom, {}
+
+    step_fn = make_train_step(loss_fn, tx, clip_grad_norm=1.0)
+    state = jax.jit(lambda p: TrainState.create(p, tx), donate_argnums=(0,))(params)
+    batch = {"imgs": imgs, "tok": tok}
+    rng = jax.random.PRNGKey(2)
+    multi = make_multi_step(step_fn, args.inner)
+    t0 = time.time()
+    med, times, loss = time_multi(multi, state, batch, rng, args.inner, args.steps)
+    print(f"compile+measure: {time.time()-t0:.1f}s", flush=True)
+    P = (cfg.img_size // cfg.patch_size) ** 2 + cfg.num_prefix_tokens  # 578
+    # encoder self-attn over P; decoder self-attn over T + cross-attn to P
+    flops = (
+        transformer_train_flops(n_mm_enc, B * P, cfg.enc_layers, cfg.enc_dim, P)
+        + transformer_train_flops(n_mm_dec, B * T, cfg.dec_layers, cfg.dec_dim, T)
+        + 12.0 * cfg.dec_layers * cfg.dec_dim * P * (B * T)  # cross-attention
+    )
+    peak = detect_peak()
+    return {
+        "workload": "trocr_base_train", "batch": B,
+        "enc_patches": P, "dec_seq": T,
+        "step_ms": round(med * 1e3, 1),
+        "lines_per_s": round(B / med),
+        "model_tflops_per_s": round(flops / med / 1e12, 1),
+        "mfu": round(flops / med / peak, 3), "loss": round(loss, 3),
+        "times_ms": [round(t * 1e3, 1) for t in sorted(times)],
+    }
+
+
+WORKLOADS = {
+    "gpt1p3b": "bench_gpt", "beit_b": "bench_beit", "kosmos": "bench_kosmos",
+    "beit_pretrain": "bench_beit_pretrain", "layoutlmv3": "bench_layoutlmv3",
+    "trocr": "bench_trocr",
+}
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--workload", choices=["gpt1p3b", "beit_b", "kosmos", "all"],
+    p.add_argument("--workload", choices=list(WORKLOADS) + ["all"],
                    default="all")
     p.add_argument("--seq", type=int, default=2048)
     p.add_argument("--micro_batch", type=int, default=2)
@@ -410,16 +606,13 @@ def main():
     args = p.parse_args()
     print(f"device: {jax.devices()[0].device_kind}  "
           f"peak bf16 = {detect_peak()/1e12:.0f} TF/s", flush=True)
-    results = []
-    if args.workload in ("gpt1p3b", "all"):
-        results.append(bench_gpt(args))
-        print(json.dumps(results[-1]), flush=True)
-    if args.workload in ("beit_b", "all"):
-        results.append(bench_beit(args))
-        print(json.dumps(results[-1]), flush=True)
-    if args.workload == "kosmos":
-        results.append(bench_kosmos(args))
-        print(json.dumps(results[-1]), flush=True)
+    if args.workload == "all":
+        names = ["gpt1p3b", "beit_b"]
+    else:
+        names = [args.workload]
+    for name in names:
+        result = globals()[WORKLOADS[name]](args)
+        print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

@@ -197,14 +197,15 @@ class BEiT2ForMaskedImageModelingCLS(nn.Module):
             images, bool_masked_pos, deterministic=deterministic,
             return_all_hiddens=True,
         )
-        x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
-        logits = nn.Dense(c.vocab_size, name="lm_head")(x[:, 1:])
+        x = nn.LayerNorm(epsilon=1e-6, dtype=bcfg.dtype, name="norm")(x)
+        logits = nn.Dense(c.vocab_size, dtype=bcfg.dtype, name="lm_head")(x[:, 1:])
 
         # CLS branch: early patch states + final cls (modeling_pretrain :292)
         early = hiddens[c.early_layer][:, 1:]
         cls = x[:, :1]
         mix = jnp.concatenate([cls, early], axis=1)
-        logits_cls = nn.Dense(c.vocab_size, name="lm_head_cls")(mix[:, 1:])
+        logits_cls = nn.Dense(c.vocab_size, dtype=bcfg.dtype,
+                              name="lm_head_cls")(mix[:, 1:])
         return logits, logits_cls
 
 

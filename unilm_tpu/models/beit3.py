@@ -203,7 +203,8 @@ class BEiT3ForCaptioning(nn.Module):
             deterministic=deterministic,
         )
         text_out = out[:, nv:]
-        return nn.Dense(self.cfg.vocab_size, name="mlm_head")(text_out)
+        return nn.Dense(self.cfg.vocab_size, dtype=self.cfg.dtype,
+                        name="mlm_head")(text_out)
 
 
 class BEiT3ForVisualQuestionAnswering(nn.Module):

@@ -294,7 +294,7 @@ class UniGPT(nn.Module):
         self.decoder = Decoder(tcfg, name="decoder")
         if not cfg.share_input_output_embed:
             self.output_projection = nn.Dense(
-                cfg.vocab_size, use_bias=False,
+                cfg.vocab_size, use_bias=False, dtype=tcfg.dtype,
                 kernel_init=nn.initializers.normal(cfg.embed_dim**-0.5),
                 name="output_projection",
             )

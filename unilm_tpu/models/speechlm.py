@@ -79,8 +79,10 @@ class SpeechLM(nn.Module):
         self.text_pos = nn.Embed(cfg.max_text_positions, cfg.hidden_size,
                                  name="text_pos")
         self.encoder = Encoder(cfg.enc_cfg(), name="encoder")
-        self.unit_head = nn.Dense(cfg.unit_vocab, name="unit_head")
-        self.text_head = nn.Dense(cfg.text_vocab, name="text_head")
+        self.unit_head = nn.Dense(cfg.unit_vocab, dtype=cfg.enc_cfg().dtype,
+                                  name="unit_head")
+        self.text_head = nn.Dense(cfg.text_vocab, dtype=cfg.enc_cfg().dtype,
+                                  name="text_head")
 
     # ------------------------------------------------------------------ #
     def encode_speech(

@@ -162,7 +162,10 @@ class TrOCRDecoder(nn.Module):
         if cfg.share_input_output_embed:
             logits = embed.attend(x)
         else:
-            logits = nn.Dense(cfg.vocab_size, use_bias=False, name="output_projection")(x)
+            # dtype follows the compute dtype: flax's default promotion would
+            # run the [*,1024]x[1024,50k] head in fp32 (~8x MXU cost in bf16)
+            logits = nn.Dense(cfg.vocab_size, use_bias=False, dtype=tcfg.dtype,
+                              name="output_projection")(x)
         return logits
 
 

@@ -41,4 +41,5 @@ class VLMoForMaskedLM(nn.Module):
             text_padding_mask=padding_mask, deterministic=deterministic,
         )
         text = out[:, split:] if images is not None else out
-        return nn.Dense(self.cfg.vocab_size, name="mlm_head")(text)
+        return nn.Dense(self.cfg.vocab_size, dtype=self.cfg.dtype,
+                        name="mlm_head")(text)
