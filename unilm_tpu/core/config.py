@@ -79,6 +79,9 @@ class TransformerConfig:
     window_size: int = 0  # sliding-window attention (0 = full)
     flash_block_q: int = 512
     flash_block_k: int = 1024
+    quant_weights: bool = False  # int8 weight-only projections (serving/
+    # decode; conversion-only — see ops/quant.py). The reference serves in
+    # fp16 (kosmos-2.5/inference.py:132); this halves the decode HBM stream.
 
     # --- compute dtypes ----------------------------------------------------------
     dtype: Any = jnp.float32  # activation dtype (bf16 for perf)

@@ -123,6 +123,21 @@ def make_norm(cfg: TransformerConfig, name: str):
     )
 
 
+def make_dense(cfg: TransformerConfig, features: int, *, kernel_init, name: str):
+    """Dense projection factory: int8 weight-only (ops/quant.QuantDense)
+    when cfg.quant_weights, else nn.Dense. Quantized params are
+    conversion-only (quantize_dense_tree); kernel_init is Dense-path-only."""
+    if cfg.quant_weights:
+        from unilm_tpu.ops.quant import QuantDense
+
+        return QuantDense(features, use_bias=cfg.use_bias, dtype=cfg.dtype,
+                          name=name)
+    return nn.Dense(
+        features, kernel_init=kernel_init, use_bias=cfg.use_bias,
+        dtype=cfg.dtype, param_dtype=cfg.param_dtype, name=name,
+    )
+
+
 class FeedForward(nn.Module):
     """fc1 -> act -> (inner LN if subln) -> fc2, or fused SwiGLU.
 
@@ -138,14 +153,7 @@ class FeedForward(nn.Module):
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         cfg = self.cfg
         kinit = scaled_init(default_kernel_init(), self.init_scale)
-        dense = lambda feats, name: nn.Dense(
-            feats,
-            kernel_init=kinit,
-            use_bias=cfg.use_bias,
-            dtype=cfg.dtype,
-            param_dtype=cfg.param_dtype,
-            name=name,
-        )
+        dense = lambda feats, name: make_dense(cfg, feats, kernel_init=kinit, name=name)
         if cfg.activation in GATED_ACTIVATIONS:
             # gated FFN: (act(xW1) * xW3) W2 — SwiGLU / GeGLU; XLA fuses,
             # Pallas swiglu kernel covers the hot path.

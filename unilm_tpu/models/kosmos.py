@@ -236,6 +236,8 @@ class UniGPTConfig:
     param_dtype: Any = jnp.float32  # bf16 = fairseq --memory-efficient-fp16
     # (kosmos-2 train.sh:33: params+grads in half precision, no fp32 master)
     use_flash: bool = True
+    quant_weights: bool = False  # int8 weight-only decoder projections
+    # (serving/decode; ops/quant.py — conversion-only, see ServingEngine)
 
     def decoder_cfg(self) -> TransformerConfig:
         return TransformerConfig(
@@ -248,7 +250,7 @@ class UniGPTConfig:
             moe_top=self.moe_top, remat=self.remat,
             remat_policy=self.remat_policy,
             dtype=self.dtype, param_dtype=self.param_dtype,
-            use_flash=self.use_flash,
+            use_flash=self.use_flash, quant_weights=self.quant_weights,
         )
 
 

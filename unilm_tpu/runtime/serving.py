@@ -117,11 +117,10 @@ class PagedSelfAttention(nn.Module):
         v_init = scaled_init(nn.initializers.xavier_uniform(), (2**-0.5) * vo_scale)
         o_init = scaled_init(nn.initializers.xavier_uniform(), vo_scale)
 
+        from unilm_tpu.core.layers import make_dense
+
         def proj(name, init):
-            return nn.Dense(
-                H * D, kernel_init=init, use_bias=cfg.use_bias, dtype=cfg.dtype,
-                param_dtype=cfg.param_dtype, name=name,
-            )
+            return make_dense(cfg, H * D, kernel_init=init, name=name)
 
         q = proj("q_proj", qk_init)(x).reshape(B, T, H, D)
         k = proj("k_proj", qk_init)(x).reshape(B, T, H, D)
@@ -177,10 +176,7 @@ class PagedSelfAttention(nn.Module):
             out = out.reshape(B, T, H * D)
             if cfg.subln:
                 out = make_norm(cfg, "inner_attn_ln")(out)
-            out = nn.Dense(
-                E, kernel_init=o_init, use_bias=cfg.use_bias, dtype=cfg.dtype,
-                param_dtype=cfg.param_dtype, name="out_proj",
-            )(out)
+            out = make_dense(cfg, E, kernel_init=o_init, name="out_proj")(out)
             return out, k_pool, v_pool, scale_pool
 
         # ---- scatter new KV into pages (invalid positions -> trash page)
@@ -246,10 +242,7 @@ class PagedSelfAttention(nn.Module):
         out = out.reshape(B, T, H * D)
         if cfg.subln:
             out = make_norm(cfg, "inner_attn_ln")(out)
-        out = nn.Dense(
-            E, kernel_init=o_init, use_bias=cfg.use_bias, dtype=cfg.dtype,
-            param_dtype=cfg.param_dtype, name="out_proj",
-        )(out)
+        out = make_dense(cfg, E, kernel_init=o_init, name="out_proj")(out)
         return out, k_pool, v_pool, scale_pool
 
 
@@ -442,6 +435,10 @@ class ServingConfig:
     kv_dtype: str = "model"  # "model" (cfg.dtype) or "int8" (per-token
     # symmetric quantization; halves the decode bandwidth roofline and
     # doubles KV capacity at a small logit error — see quantize_kv_rows)
+    weight_dtype: str = "model"  # "model" or "int8": weight-only int8 for
+    # every decoder-layer projection (ops/quant.py). Decode is weight-
+    # streaming-bound, so this halves the other half of the roofline;
+    # embeddings stay full precision (tied lookup + lm head).
 
 
 @dataclasses.dataclass
@@ -478,6 +475,22 @@ class ServingEngine:
 
     def __init__(self, cfg: UniGPTConfig, scfg: ServingConfig, params,
                  mesh=None):
+        if scfg.weight_dtype == "int8":
+            # Weight-only int8: quantize every decoder-layer projection
+            # kernel (per-output-channel scales); embeddings stay full
+            # precision. Works on a plain UniGPT/PagedGPT param tree —
+            # param names stay aligned with QuantDense (ops/quant.py).
+            assert mesh is None, (
+                "int8 weights are a single-chip decode optimization; the TP "
+                "mesh path shards full-precision kernels")
+            from unilm_tpu.ops.quant import quantize_dense_tree
+
+            params = quantize_dense_tree(
+                params,
+                predicate=lambda p: any(
+                    s.startswith("layers_") for s in p),
+            )
+            cfg = dataclasses.replace(cfg, quant_weights=True)
         self.cfg, self.scfg = cfg, scfg
         self.mesh = mesh
         self.model = PagedGPT(cfg, use_kernel=mesh is None,
