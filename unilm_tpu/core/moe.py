@@ -16,6 +16,7 @@ Gating follows xMoE: optional low-dim routing projection
 
 from __future__ import annotations
 
+import dataclasses
 import math
 from typing import Optional, Tuple
 
@@ -148,13 +149,18 @@ class MoELayer(nn.Module):
             "gsec,gsm->egcm", dispatch.astype(x.dtype), x
         )  # [E, G, C, M]
 
+        # Expert kernels are vmapped to 3D [E, K, N]; the int8 weight-only
+        # path (ops/quant.py) is 2D-kernel-only, so experts stay full
+        # precision under cfg.quant_weights (only routed tokens stream each
+        # expert, so the HBM win is smaller there anyway).
+        ecfg = dataclasses.replace(cfg, quant_weights=False)
         expert_ffn = nn.vmap(
             FeedForward,
             in_axes=(0, None),
             out_axes=0,
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
-        )(cfg, name="experts")
+        )(ecfg, name="experts")
         expert_out = expert_ffn(
             expert_in.reshape(E, G * capacity, M), deterministic
         ).reshape(E, G, capacity, M)

@@ -476,18 +476,22 @@ class ServingEngine:
     def __init__(self, cfg: UniGPTConfig, scfg: ServingConfig, params,
                  mesh=None):
         if scfg.weight_dtype == "int8":
-            # Weight-only int8: quantize every decoder-layer projection
-            # kernel (per-output-channel scales); embeddings stay full
-            # precision. Works on a plain UniGPT/PagedGPT param tree —
-            # param names stay aligned with QuantDense (ops/quant.py).
+            # Weight-only int8: quantize every decoder-layer PROJECTION
+            # kernel (per-output-channel scales). Embeddings, norms, MoE
+            # gates (plain nn.Dense, fp32 routing) and vmapped expert
+            # kernels (3D) stay full precision. Works on a plain
+            # UniGPT/PagedGPT param tree — param names stay aligned with
+            # QuantDense (ops/quant.py).
             assert mesh is None, (
                 "int8 weights are a single-chip decode optimization; the TP "
                 "mesh path shards full-precision kernels")
             from unilm_tpu.ops.quant import quantize_dense_tree
 
+            _PROJ = {"q_proj", "k_proj", "v_proj", "out_proj",
+                     "fc1", "fc2", "fc3"}
             params = quantize_dense_tree(
                 params,
-                predicate=lambda p: any(
+                predicate=lambda p: p[-2] in _PROJ and any(
                     s.startswith("layers_") for s in p),
             )
             cfg = dataclasses.replace(cfg, quant_weights=True)
