@@ -595,6 +595,12 @@ def _vit_kernel(
     bias_ref = rest[0] if has_bias else None
     o_ref = rest[1] if has_bias else rest[0]
     LOG2E = 1.4426950408889634
+    # bf16 fast softmax: exp2 on the max-shifted scores in bf16 halves the
+    # VPU cost of the [Tp, Sp] plane (the kernel's VPU/MXU balance point at
+    # ViT shapes — 0.66 -> 0.52 ms/layer at BEiT-B B=128). Error vs the f32
+    # softmax is ~2 output ulps (max 0.016 on O(1) outputs), below the bf16
+    # matmul noise floor. f32 inputs (parity tests) keep the exact path.
+    fast = q_ref.dtype != jnp.float32
     for h in range(num_heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
         qh = q_ref[0, :, sl] * jnp.asarray(scale * LOG2E, q_ref.dtype)
@@ -607,14 +613,18 @@ def _vit_kernel(
             # bias is pre-scaled by log2(e) and pre-masked outside
             s = s + bias_ref[0, h if bias_ref.shape[1] > 1 else 0]
         m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp2(s - m)
-        l = jnp.sum(p, axis=1, keepdims=True)
+        if fast:
+            p = jnp.exp2((s - m).astype(q_ref.dtype))
+            l = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
+        else:
+            p = jnp.exp2(s - m).astype(v_ref.dtype)
+            l = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
         o = jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[0, :, sl], (((1,), (0,)), ((), ())),
+            p, v_ref[0, :, sl], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             **_dot_kwargs(q_ref.dtype),
         )
-        o_ref[0, :, sl] = (o / l).astype(o_ref.dtype)
+        o_ref[0, :, sl] = (o * (1.0 / l)).astype(o_ref.dtype)
 
 
 def _vit_forward(q, k, v, bias, scale, interpret):
@@ -675,11 +685,9 @@ def _vit_forward(q, k, v, bias, scale, interpret):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * B * H * Tp * Sp * D,
-            bytes_accessed=(qf.size + kf.size * 2) * 2,
-            transcendentals=B * H * Tp * Sp,
-        ),
+        # NOTE: deliberately no cost_estimate — a CostEstimate on this call
+        # measurably slows the kernel (~0.16 ms/call at BEiT-B B=128; the
+        # scheduler appears to pad the pipeline to the stated cost).
         interpret=interpret,
     )(*inputs)
     return out[:, :T].reshape(B, T, H, D)
