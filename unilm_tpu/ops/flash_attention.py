@@ -717,9 +717,13 @@ def _vit_bwd_kernel(
 
     One grid step per batch item, heads looped in-kernel, the whole
     [Tp, Sp] plane in VMEM. p is recomputed from q/k/v (+ pre-scaled
-    bias) exactly as the forward computed it — NO residuals are read:
-    delta = rowsum(p * dp) replaces sum(dO * O), so lse/out never leave
-    the chip. dbias for a batch-broadcast bias ([1, H, T, S] rel-pos
+    bias) in f32 — NO residuals are read. Note the forward's bf16 fast
+    path computes p via bf16 exp2, so the recomputed p here matches the
+    exact-softmax function rather than the forward's fast-softmax output
+    bit-for-bit; the difference is bf16 rounding noise (<=2^-8 relative)
+    and is the accepted precision contract (gradients of the exact
+    function are the better estimator). delta = rowsum(p * dp) replaces
+    sum(dO * O), so lse/out never leave the chip. dbias for a batch-broadcast bias ([1, H, T, S] rel-pos
     tables) accumulates across the whole batch sweep inside the
     VMEM-resident output block.
 
