@@ -78,14 +78,13 @@ class MultiheadAttention(nn.Module):
                     param_dtype=cfg.param_dtype, kernel_init=init, name=name,
                 )(x, split_mask)
             else:
-                y = nn.Dense(
-                    H * D,
-                    kernel_init=init,
-                    use_bias=cfg.use_bias,
-                    dtype=cfg.dtype,
-                    param_dtype=cfg.param_dtype,
-                    name=name,
-                )(x)
+                # make_dense so cfg.quant_weights swaps in QuantDense here the
+                # same way PagedGPT's serving attention does — a tree from
+                # quantize_dense_tree must load into BOTH decode paths
+                # (tests/test_quant.py).
+                from unilm_tpu.core.layers import make_dense
+
+                y = make_dense(cfg, H * D, kernel_init=init, name=name)(x)
             return y.reshape(x.shape[0], x.shape[1], H, D)
 
         q = proj(query, "q_proj", qk_init)
@@ -197,14 +196,9 @@ class MultiheadAttention(nn.Module):
                 E, use_bias=cfg.use_bias, dtype=cfg.dtype,
                 param_dtype=cfg.param_dtype, kernel_init=o_init, name="out_proj",
             )(out, split_mask)
-        return nn.Dense(
-            E,
-            kernel_init=o_init,
-            use_bias=cfg.use_bias,
-            dtype=cfg.dtype,
-            param_dtype=cfg.param_dtype,
-            name="out_proj",
-        )(out)
+        from unilm_tpu.core.layers import make_dense
+
+        return make_dense(cfg, E, kernel_init=o_init, name="out_proj")(out)
 
     # ---------------------------------------------------------------------- #
     # xPos helpers
