@@ -1,18 +1,27 @@
-"""Headline benchmark: BEiT-B ImageNet-1k eval throughput (images/sec/chip).
+"""Headline benchmarks, one JSON line each.
 
-Matches BASELINE.json config #1 (run_class_finetuning --eval). The baseline
-is A100-parity for ViT-B/16 224 inference (~1500 img/s with PyTorch AMP on
+Line 1 — BEiT-B ImageNet-1k eval throughput (images/sec/chip). Matches
+BASELINE.json config #1 (run_class_finetuning --eval). The baseline is
+A100-parity for ViT-B/16 224 inference (~1500 img/s with PyTorch AMP on
 one A100, no TensorRT); vs_baseline = ours / 1500.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Line 2 — UniGPT-1.3B pretrain train-step MFU (the reference's hot path:
+fairseq Trainer.train_step, kosmos-2/fairseq/fairseq/trainer.py:782, run
+under kosmos-2/train.sh's --memory-efficient-fp16 + flash config). Runs
+benchmarks/train_mfu.py's gpt1p3b workload in its headline configuration
+(bf16 params, no remat, Pallas flash fwd+bwd, chunked-vocab CE). The
+baseline is 0.50 MFU — the A100-class Megatron/fairseq efficiency band for
+a 1.3B dense decoder — so vs_baseline = mfu / 0.50 is hardware-normalized.
 
 Note: the axon tunnel adds ~30 ms per synced host call, so iterations are
-amortized inside one jitted lax.fori_loop.
+amortized inside one jitted lax.fori_loop / lax.scan.
 """
 
+import argparse
 import json
 import statistics
 import time
+import traceback
 
 import jax
 import jax.numpy as jnp
@@ -20,6 +29,41 @@ import jax.numpy as jnp
 from unilm_tpu.models.beit import BeitForImageClassification, beit_base_patch16_224
 
 A100_BASELINE_IMG_S = 1500.0
+REFERENCE_TRAIN_MFU = 0.50
+
+
+def bench_train(on_tpu: bool):
+    """1.3B train-step MFU via benchmarks/train_mfu.py (gpt1p3b workload)."""
+    from benchmarks.train_mfu import bench_gpt
+
+    args = argparse.Namespace(
+        seq=2048 if on_tpu else 128,
+        micro_batch=2,
+        accum=4 if on_tpu else 1,
+        optimizer="adafactor",
+        fused_ce=True,
+        ce_chunk=8192 if on_tpu else 256,
+        tiny=not on_tpu,  # CPU smoke: harness check, not a measurement
+        no_flash=not on_tpu,
+        no_remat=True,
+        remat_policy="full",
+        param_dtype="bf16",
+        breakdown=False,
+        inner=4 if on_tpu else 2,
+        steps=5 if on_tpu else 2,
+    )
+    r = bench_gpt(args)
+    out = {
+        "metric": "UniGPT-1.3B train step",
+        "value": max(r["tokens_per_s"], 0),
+        "unit": "tokens/sec/chip",
+        "mfu": max(r["mfu"], 0.0),
+        "step_ms": r["step_ms"],
+        "vs_baseline": round(max(r["mfu"], 0.0) / REFERENCE_TRAIN_MFU, 3),
+    }
+    if not on_tpu:
+        out["smoke"] = True  # tiny config: harness check, not a measurement
+    print(json.dumps(out), flush=True)
 
 
 def main():
@@ -67,8 +111,27 @@ def main():
                 "unit": "images/sec/chip",
                 "vs_baseline": round(img_s / A100_BASELINE_IMG_S, 3),
             }
-        )
+        ),
+        flush=True,
     )
+
+    # Train-step metric is additive: a failure must not take down the
+    # eval headline above, so keep rc=0 and report the error inline.
+    try:
+        bench_train(on_tpu)
+    except Exception:
+        traceback.print_exc()
+        print(
+            json.dumps(
+                {
+                    "metric": "UniGPT-1.3B train step",
+                    "value": None,
+                    "unit": "tokens/sec/chip",
+                    "error": "train benchmark failed; see traceback above",
+                }
+            ),
+            flush=True,
+        )
 
 
 if __name__ == "__main__":

@@ -104,11 +104,15 @@ def bench_gpt(args):
     import optax
 
     T, mb, acc = args.seq, args.micro_batch, args.accum
-    cfg = UniGPTConfig(dtype=jnp.bfloat16, use_flash=not args.no_flash,
-                       remat=not args.no_remat, remat_policy=args.remat_policy,
-                       param_dtype=(jnp.bfloat16 if args.param_dtype == "bf16"
-                                    else jnp.float32),
-                       image_tower=None, max_positions=max(T + 2, 2050))
+    kw = dict(dtype=jnp.bfloat16, use_flash=not args.no_flash,
+              remat=not args.no_remat, remat_policy=args.remat_policy,
+              param_dtype=(jnp.bfloat16 if args.param_dtype == "bf16"
+                           else jnp.float32),
+              image_tower=None, max_positions=max(T + 2, 2050))
+    if args.tiny:  # CPU smoke config (harness check, not a measurement)
+        kw.update(embed_dim=64, num_layers=2, num_heads=4, ffn_dim=128,
+                  vocab_size=512)
+    cfg = UniGPTConfig(**kw)
     model = UniGPT(cfg)
     tokens = jnp.ones((mb, T), jnp.int32)
 
