@@ -258,6 +258,33 @@ def test_fused_encoder_backward_onepass(T, S, bias_mode):
         np.testing.assert_allclose(a, b, atol=1e-3, rtol=2e-3)
 
 
+@pytest.mark.slow
+def test_fused_encoder_backward_full_bias_flash_route():
+    """Full per-example [B,H,T,S] bias at a shape where the one-pass
+    backward is VMEM-unprofitable (LayoutLMv3's 1D+2D bucket bias at
+    S~709): _vit_bwd must route through the blocked flash backward's vjp
+    (per-block dbias, no materialized [B,H,T,S] f32 logits), not the
+    dense fallback. T=S=413 also exercises the pad/colmask handling of
+    the blocked path under a full bias."""
+    T = S = 413
+    q, k, v = rand(0, B, T, H, D), rand(1, B, S, H, D), rand(2, B, S, H, D)
+    scale = D**-0.5
+    bias = rand(3, B, H, T, S) * 2.0
+    assert not fa._vit_bwd_profitable(B, H, T, S, D, H, 4)
+
+    def loss_fused(q, k, v, bias):
+        return jnp.sum(
+            fa.fused_encoder_attention(q, k, v, bias, scale, True) ** 2)
+
+    def loss_ref(q, k, v, bias):
+        return jnp.sum(fa._vit_ref(q, k, v, bias, scale) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(a, b, atol=1e-3, rtol=2e-3)
+
+
 def test_lse_residual_compact_3d():
     """Every forward variant must emit its lse residual as compact [B,H,T]:
     a [B,H,T,1] residual is tile-padded 128x in HBM (600 MB/layer at

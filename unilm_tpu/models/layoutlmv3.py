@@ -18,7 +18,6 @@ Post-LN (RoBERTa-style) configuration of the shared Encoder core.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Optional
 
 import flax.linen as nn
@@ -88,35 +87,33 @@ class LayoutLMv3Config:
         )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _bucket_take(table: jax.Array, buckets: jax.Array, nb: int) -> jax.Array:
-    """table[buckets] ([nb,H] gathered by [B,T,S] -> [B,T,S,H]) with a
-    matmul-form table gradient. The autodiff backward of the gather is a
-    scatter-add of B*T*S*H elements into the tiny table — serialized on the
-    TPU scalar path (measured 655 ms of an 810 ms LayoutLMv3-B train step at
-    B=32). The custom backward contracts the incoming cotangent against the
-    one-hot bucket matrix on the MXU instead: dtable = onehot^T @ g."""
-    return jnp.take(table, buckets, axis=0)
+def _bucket_take(table: jax.Array, buckets: jax.Array, nb: int,
+                 dtype=jnp.float32) -> jax.Array:
+    """Per-head bias lookup as a one-hot matmul on the MXU: [nb,H] table
+    indexed by per-example [B,T,S] buckets -> [B,H,T,S].
 
+    A gather (table[buckets]) runs on the TPU scalar path: measured 174 ms
+    for LayoutLMv3-B's three tables at B=32/S=709 vs 6 ms for this matmul
+    form (29x; 191 ms of a 234 ms forward). Layout matters too: gathering
+    [nb,H] tables puts H=12 in the lane dim, padded to 128 — a 10.7x
+    memory expansion (16.5 GB at B=64, OOM); here every intermediate keeps
+    B*T*S in the lane dim.
 
-def _bucket_take_fwd(table, buckets, nb):
-    return jnp.take(table, buckets, axis=0), buckets
+    Autodiff of the dot is itself a dot (dtable = g-contraction against the
+    one-hot matrix), so no custom VJP: the gather's autodiff backward was a
+    scatter-add serialized on the scalar path (655 ms of an 810 ms step).
 
-
-def _bucket_take_bwd(nb, buckets, g):
-    # bf16 operands (one-hot values are exact in bf16), f32 accumulation —
-    # the same precision policy as every bf16 wgrad matmul in the model.
-    # An f32 one-hot would materialize a 4 GB [B*T*S, nb] operand at B=32.
-    onehot = jax.nn.one_hot(buckets, nb, dtype=jnp.bfloat16)  # [..., nb]
-    dtable = jax.lax.dot_general(
-        onehot.reshape(-1, nb), g.reshape(-1, g.shape[-1]).astype(jnp.bfloat16),
-        (((0,), (0,)), ((), ())),
+    One-hot values are exact in any dtype; pass dtype=bf16 in bf16 training
+    (table rounding ~2^-8 relative, below the bf16 attention-logit noise).
+    """
+    B, T, S = buckets.shape
+    H = table.shape[1]
+    oh = jax.nn.one_hot(buckets.reshape(-1), nb, dtype=dtype)  # [BTS, nb]
+    r = jax.lax.dot_general(
+        table.T.astype(dtype), oh, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
-    return (dtable, None)
-
-
-_bucket_take.defvjp(_bucket_take_fwd, _bucket_take_bwd)
+    )  # [H, BTS]
+    return jnp.moveaxis(r.reshape(H, B, T, S), 0, 1)  # [B,H,T,S]
 
 
 def create_position_ids(input_ids: jax.Array, padding_idx: int) -> jax.Array:
@@ -268,7 +265,8 @@ class LayoutLMv3Model(nn.Module):
             buckets = relative_position_bucket(
                 rel, True, cfg.rel_pos_bins, cfg.max_rel_pos
             )
-            bias = _bucket_take(t1, buckets, cfg.rel_pos_bins).transpose(0, 3, 1, 2)
+            bias = _bucket_take(t1, buckets, cfg.rel_pos_bins,
+                                dtype=cfg.dtype)  # [B,H,T,S]
         if tx is not None:
             cx = full_bbox[..., 0]
             cy = full_bbox[..., 3]
@@ -279,9 +277,9 @@ class LayoutLMv3Model(nn.Module):
                 cy[:, None, :] - cy[:, :, None], True, cfg.rel_2d_pos_bins, cfg.max_rel_2d_pos
             )
             b2d = (
-                _bucket_take(tx, bx, cfg.rel_2d_pos_bins)
-                + _bucket_take(ty, by, cfg.rel_2d_pos_bins)
-            ).transpose(0, 3, 1, 2)
+                _bucket_take(tx, bx, cfg.rel_2d_pos_bins, dtype=cfg.dtype)
+                + _bucket_take(ty, by, cfg.rel_2d_pos_bins, dtype=cfg.dtype)
+            )  # [B,H,T,S]
             bias = b2d if bias is None else bias + b2d
         if bias is not None:
             # reference adds (rel_pos + rel_2d_pos)/sqrt(d) (modeling:318-321).

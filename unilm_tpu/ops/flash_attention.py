@@ -315,7 +315,8 @@ def _flash_forward(
                 lambda b, h, i, j, *_, bb=bb, hb=hb: (b if bb else 0, h if hb else 0, i, j),
             )
         )
-        inputs.append(bias.astype(jnp.float32))
+        # stream at input dtype; kernels cast blocks to f32 on add
+        inputs.append(bias)
     if has_mask:
         if mask.shape[1] != Sp:
             mask = jnp.pad(mask, ((0, 0), (0, Sp - mask.shape[1])))
@@ -520,7 +521,8 @@ def _flash_forward_tri(
             return (b if bb else 0, h if hb else 0, i, j)
 
         in_specs.append(pl.BlockSpec((1, 1, block, block), bmap))
-        inputs.append(bias.astype(jnp.float32))
+        # stream at input dtype; kernels cast blocks to f32 on add
+        inputs.append(bias)
     if has_mask:
         if mask.shape[1] != Tp:
             mask = jnp.pad(mask, ((0, 0), (0, Tp - mask.shape[1])))
@@ -611,7 +613,7 @@ def _vit_kernel(
         )  # [Tp, Sp]
         if has_bias:
             # bias is pre-scaled by log2(e) and pre-masked outside
-            s = s + bias_ref[0, h if bias_ref.shape[1] > 1 else 0]
+            s = s + bias_ref[0, h if bias_ref.shape[1] > 1 else 0].astype(jnp.float32)
         m = jnp.max(s, axis=1, keepdims=True)
         if fast:
             p = jnp.exp2((s - m).astype(q_ref.dtype))
@@ -647,7 +649,9 @@ def _vit_forward(q, k, v, bias, scale, interpret):
         colmask = jnp.where(jnp.arange(Sp) < S, 0.0, NEG_INF).astype(jnp.float32)
         bias = jnp.broadcast_to(colmask[None, None, None, :], (1, 1, Tp, Sp))
     elif bias is not None:
-        bias = bias.astype(jnp.float32) * LOG2E
+        # Pre-scale in f32, stream at the input dtype (bf16 halves the
+        # per-layer HBM read; the kernel adds the block into f32 scores).
+        bias = (bias.astype(jnp.float32) * LOG2E).astype(bias.dtype)
         if bias.shape[2] != Tp or bias.shape[3] != Sp:
             bias = jnp.pad(
                 bias,
@@ -760,7 +764,7 @@ def _vit_bwd_kernel(
         if has_bias:
             # bias is pre-scaled by log2(e) and pre-masked outside (same
             # convention as _vit_kernel)
-            s2 = s2 + bias_ref[0, h if bias_h > 1 else 0]
+            s2 = s2 + bias_ref[0, h if bias_h > 1 else 0].astype(jnp.float32)
         m = jnp.max(s2, axis=1, keepdims=True)
         e = jnp.exp2(s2 - m)
         p = e / jnp.sum(e, axis=1, keepdims=True)  # natural-domain softmax
@@ -831,7 +835,9 @@ def _vit_backward(q, k, v, bias, g, scale, interpret):
         colmask = jnp.where(jnp.arange(Sp) < S, 0.0, NEG_INF).astype(jnp.float32)
         bias = jnp.broadcast_to(colmask[None, None, None, :], (1, 1, Tp, Sp))
     elif bias is not None:
-        bias = bias.astype(jnp.float32) * LOG2E
+        # Pre-scale in f32, stream at the input dtype (bf16 halves the
+        # per-layer HBM read; the kernel adds the block into f32 scores).
+        bias = (bias.astype(jnp.float32) * LOG2E).astype(bias.dtype)
         if bias.shape[2] != Tp or bias.shape[3] != Sp:
             bias = jnp.pad(
                 bias,
@@ -943,6 +949,21 @@ def _vit_bwd(scale, interpret, res, g):
         return dq, dk, dv, dbias[
             :, :, : bias.shape[2], : bias.shape[3]
         ].astype(bias.dtype)
+    if bias is not None and bias.shape[0] == B and bias.shape[1] == H:
+        # Full per-example bias (LayoutLMv3's 1D+2D bucket bias): the
+        # one-pass kernel's resident [H, Tp, Sp] bias plane exceeds VMEM,
+        # but the blocked flash backward computes dbias per block with no
+        # cross-batch/head reduction. Route through its vjp — one extra
+        # fwd kernel run, vs the dense fallback's materialized [B,H,T,S]
+        # f32 logits (the peak allocation and ~2x step time at B=32).
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_, b_: flash_attention(
+                q_, k_, v_, bias=b_, scale=scale, causal=False,
+                interpret=interpret,
+            ),
+            q, k, v, bias,
+        )
+        return vjp(g)
     if bias is None:
         _, vjp = jax.vjp(lambda q, k, v: _vit_ref(q, k, v, None, scale), q, k, v)
         return (*vjp(g), None)
@@ -1003,7 +1024,7 @@ def _onepass_kernel(
             **_dot_kwargs(q_ref.dtype),
         )  # [Tp, Sp]
         if has_bias:
-            s = s + bias_ref[0, h if bias_ref.shape[1] > 1 else 0]
+            s = s + bias_ref[0, h if bias_ref.shape[1] > 1 else 0].astype(jnp.float32)
         if fast:
             # log2-domain softmax: exp2 is the native VPU op (exp costs an
             # extra multiply per element when lowered); scale s once, emit
@@ -1070,7 +1091,7 @@ def _flash_forward_onepass(
         if bias.shape[2] != Tp or bias.shape[3] != Sp:
             pad_t, pad_s = Tp - bias.shape[2], Sp - bias.shape[3]
             bias = jnp.pad(
-                bias.astype(jnp.float32),
+                bias,
                 ((0, 0), (0, 0), (0, pad_t), (0, pad_s)),
                 constant_values=NEG_INF if fast else 0.0,
             )
@@ -1081,7 +1102,8 @@ def _flash_forward_onepass(
                 lambda b, *_, bb=bb: (b if bb else 0, 0, 0, 0),
             )
         )
-        inputs.append(bias.astype(jnp.float32))
+        # stream at input dtype; kernels cast blocks to f32 on add
+        inputs.append(bias)
     if has_mask:
         if mask.shape[1] != Sp:
             mask = jnp.pad(mask, ((0, 0), (0, Sp - mask.shape[1])))
@@ -1728,7 +1750,7 @@ def _flash_backward_pallas(
         bb = bias.shape[0] > 1
         hb = bias.shape[1] > 1
         biasp = jnp.pad(
-            bias.astype(jnp.float32),
+            bias,
             ((0, 0), (0, 0), (0, Tp - bias.shape[2]), (0, Sp - bias.shape[3])),
         )
     maskp = None
