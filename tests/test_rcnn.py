@@ -243,18 +243,17 @@ def test_rcnn_forward_shapes(tiny_model):
     assert float(out["boxes"].max()) <= 64.0
 
 
-@pytest.mark.slow
-def test_rcnn_convert_synthetic_roundtrip(tiny_model):
-    """Build a synthetic detectron2-layout state dict, convert, and check
-    the result is tree-compatible with flax init (exact shapes) and the
-    forward runs on it."""
-    torch = pytest.importorskip("torch")
-    from unilm_tpu.convert.detection import convert_rcnn
+def build_synthetic_sd(cfg, seed=0):
+    """Synthetic detectron2-layout Cascade/Mask R-CNN state dict matching
+    `cfg` (the exact key/tensor layout convert_rcnn consumes). Shared by the
+    shape-roundtrip test below and the full-graph numeric-parity oracle in
+    test_rcnn_fullgraph.py."""
+    import torch
 
-    cfg, model, params = tiny_model
     E, C, F = cfg.beit.embed_dim, cfg.fpn_channels, cfg.beit.ffn_dim
     A, ncls, fc = cfg.num_anchors, cfg.num_classes, cfg.fc_dim
-    g = torch.Generator().manual_seed(0)
+    ps = cfg.beit.patch_size
+    g = torch.Generator().manual_seed(seed)
 
     def t(*shape):
         return torch.randn(*shape, generator=g) * 0.02
@@ -262,15 +261,15 @@ def test_rcnn_convert_synthetic_roundtrip(tiny_model):
     sd = {}
     B = "backbone.bottom_up.backbone"
     sd[f"{B}.cls_token"] = t(1, 1, E)
-    sd[f"{B}.pos_embed"] = t(1, (64 // 16) ** 2 + 1, E)
-    sd[f"{B}.patch_embed.proj.weight"] = t(E, 3, 16, 16)
+    sd[f"{B}.pos_embed"] = t(1, cfg.beit.num_patches + 1, E)
+    sd[f"{B}.patch_embed.proj.weight"] = t(E, 3, ps, ps)
     sd[f"{B}.patch_embed.proj.bias"] = t(E)
     for i in range(cfg.beit.num_layers):
         p = f"{B}.blocks.{i}"
-        sd[f"{p}.norm1.weight"] = torch.ones(E)
-        sd[f"{p}.norm1.bias"] = torch.zeros(E)
-        sd[f"{p}.norm2.weight"] = torch.ones(E)
-        sd[f"{p}.norm2.bias"] = torch.zeros(E)
+        sd[f"{p}.norm1.weight"] = 1.0 + t(E)
+        sd[f"{p}.norm1.bias"] = t(E)
+        sd[f"{p}.norm2.weight"] = 1.0 + t(E)
+        sd[f"{p}.norm2.bias"] = t(E)
         sd[f"{p}.attn.qkv.weight"] = t(3 * E, E)
         sd[f"{p}.attn.q_bias"] = t(E)
         sd[f"{p}.attn.v_bias"] = t(E)
@@ -284,10 +283,11 @@ def test_rcnn_convert_synthetic_roundtrip(tiny_model):
         sd[f"{p}.gamma_2"] = t(E)
     sd[f"{B}.fpn1.0.weight"] = t(E, E, 2, 2)
     sd[f"{B}.fpn1.0.bias"] = t(E)
-    sd[f"{B}.fpn1.1.weight"] = torch.ones(E)
-    sd[f"{B}.fpn1.1.bias"] = torch.zeros(E)
-    sd[f"{B}.fpn1.1.running_mean"] = torch.zeros(E)
-    sd[f"{B}.fpn1.1.running_var"] = torch.ones(E)
+    # non-identity running stats so the oracle catches swapped BN fields
+    sd[f"{B}.fpn1.1.weight"] = 1.0 + t(E)
+    sd[f"{B}.fpn1.1.bias"] = t(E)
+    sd[f"{B}.fpn1.1.running_mean"] = t(E)
+    sd[f"{B}.fpn1.1.running_var"] = 1.0 + torch.rand(E, generator=g) * 0.5
     sd[f"{B}.fpn1.3.weight"] = t(E, E, 2, 2)
     sd[f"{B}.fpn1.3.bias"] = t(E)
     sd[f"{B}.fpn2.0.weight"] = t(E, E, 2, 2)
@@ -303,7 +303,7 @@ def test_rcnn_convert_synthetic_roundtrip(tiny_model):
     sd["proposal_generator.rpn_head.objectness_logits.bias"] = t(A)
     sd["proposal_generator.rpn_head.anchor_deltas.weight"] = t(4 * A, C, 1, 1)
     sd["proposal_generator.rpn_head.anchor_deltas.bias"] = t(4 * A)
-    for k in range(3):
+    for k in range(len(cfg.cascade_ious)):
         sd[f"roi_heads.box_head.{k}.fc1.weight"] = t(fc, C * 7 * 7)
         sd[f"roi_heads.box_head.{k}.fc1.bias"] = t(fc)
         sd[f"roi_heads.box_head.{k}.fc2.weight"] = t(fc, fc)
@@ -312,14 +312,28 @@ def test_rcnn_convert_synthetic_roundtrip(tiny_model):
         sd[f"roi_heads.box_predictor.{k}.cls_score.bias"] = t(ncls + 1)
         sd[f"roi_heads.box_predictor.{k}.bbox_pred.weight"] = t(4, fc)
         sd[f"roi_heads.box_predictor.{k}.bbox_pred.bias"] = t(4)
-    for i in range(1, 5):
-        sd[f"roi_heads.mask_head.mask_fcn{i}.weight"] = t(C, C, 3, 3)
-        sd[f"roi_heads.mask_head.mask_fcn{i}.bias"] = t(C)
-    sd["roi_heads.mask_head.deconv.weight"] = t(C, C, 2, 2)
-    sd["roi_heads.mask_head.deconv.bias"] = t(C)
-    sd["roi_heads.mask_head.predictor.weight"] = t(ncls, C, 1, 1)
-    sd["roi_heads.mask_head.predictor.bias"] = t(ncls)
+    if cfg.mask_on:
+        for i in range(1, 5):
+            sd[f"roi_heads.mask_head.mask_fcn{i}.weight"] = t(C, C, 3, 3)
+            sd[f"roi_heads.mask_head.mask_fcn{i}.bias"] = t(C)
+        sd["roi_heads.mask_head.deconv.weight"] = t(C, C, 2, 2)
+        sd["roi_heads.mask_head.deconv.bias"] = t(C)
+        sd["roi_heads.mask_head.predictor.weight"] = t(ncls, C, 1, 1)
+        sd["roi_heads.mask_head.predictor.bias"] = t(ncls)
+    return sd
 
+
+@pytest.mark.slow
+def test_rcnn_convert_synthetic_roundtrip(tiny_model):
+    """Build a synthetic detectron2-layout state dict, convert, and check
+    the result is tree-compatible with flax init (exact shapes) and the
+    forward runs on it. (Full-graph numeric parity vs a torch+numpy oracle
+    lives in test_rcnn_fullgraph.py.)"""
+    pytest.importorskip("torch")
+    from unilm_tpu.convert.detection import convert_rcnn
+
+    cfg, model, params = tiny_model
+    sd = build_synthetic_sd(cfg)
     converted = convert_rcnn(sd, cfg)
     # exact tree/shape compatibility with flax init
     ref_shapes = jax.tree.map(lambda x: x.shape, params)
