@@ -569,10 +569,213 @@ def bench_trocr(args):
     }
 
 
+def bench_moe(args):
+    """X-MoE decoder pretrain step (kosmos xmoe arches: torchscale
+    moe_layer.py + routing.py, fairseq --moe-gate-loss-wt): GPT trunk with
+    every 2nd layer an 8-expert top-2 X-MoE (capacity 2.0, xMoE low-dim
+    cosine routing), chunked-vocab CE + weighted gate loss.
+
+    MFU convention for MoE: expert FLOPs count the capacity slots each
+    expert actually processes (6 * expert_params * C per group); the GShard
+    dispatch/combine einsums are overhead — they depress MFU, as they
+    should (the reference times its all_to_all the same way,
+    moe_layer.py:332-360). Pass --moe_breakdown for the on-chip
+    gating/dispatch/expert/combine split of one MoE layer."""
+    import optax
+
+    from unilm_tpu.models.kosmos import UniGPT, UniGPTConfig
+    from unilm_tpu.ops.fused_ce import chunked_cross_entropy
+    from unilm_tpu.runtime.train import (TrainState, apply_with_moe_aux,
+                                         make_train_step)
+
+    T, mb, acc = args.seq, args.micro_batch, args.accum
+    kw = dict(dtype=jnp.bfloat16, use_flash=not args.no_flash,
+              remat=not args.no_remat, remat_policy=args.remat_policy,
+              param_dtype=(jnp.bfloat16 if args.param_dtype == "bf16"
+                           else jnp.float32),
+              num_layers=12,  # 2.2B total; 24 dense-eq layers OOM one v5e
+              moe_freq=2, moe_experts=args.moe_experts, moe_top=2,
+              moe_capacity_factor=2.0, moe_gate_dim=128,
+              moe_second_expert_policy="all",
+              image_tower=None, max_positions=max(T + 2, 2050))
+    if args.tiny:
+        kw.update(embed_dim=64, num_layers=2, num_heads=4, ffn_dim=128,
+                  vocab_size=512, moe_experts=2, moe_gate_dim=16)
+    cfg = UniGPTConfig(**kw)
+    model = UniGPT(cfg)
+    tokens = jnp.ones((mb, T), jnp.int32)
+
+    t0 = time.time()
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), tokens)["params"]
+    jax.block_until_ready(params)
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+
+    n_mm_exp = 0
+    for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+        keys = "/".join(getattr(p, "key", str(p)) for p in path)
+        if leaf.ndim >= 2 and "experts" in keys:
+            n_mm_exp += leaf.size
+    n_mm_dense = (count_matmul_params(params) - n_mm_exp
+                  + cfg.vocab_size * cfg.embed_dim)
+    E_exp = cfg.moe_experts
+    # MoELayer: C = ceil(S*cf/E) rounded up to 8 (core/moe.py)
+    import math as _math
+    cap = max(int(_math.ceil(T * 2.0 / E_exp)), 4)
+    cap = min(-(-cap // 8) * 8, T)
+    print(f"init: {time.time()-t0:.1f}s  params={n_params/1e9:.2f}B "
+          f"(expert mm {n_mm_exp/1e9:.2f}B, dense mm {n_mm_dense/1e9:.2f}B, "
+          f"capacity {cap})", flush=True)
+
+    tx = optax.adafactor(1e-4) if args.optimizer == "adafactor" else \
+        optax.adamw(1e-4, b1=0.9, b2=0.98, weight_decay=0.01)
+
+    def loss_fn(p, batch, rng):
+        feats, aux = apply_with_moe_aux(
+            model, {"params": p}, batch["tokens"],
+            deterministic=False, rngs={"dropout": rng},
+            return_features=True)
+        loss, denom = chunked_cross_entropy(
+            feats[:, :-1], p["embed_tokens"]["embedding"],
+            batch["tokens"][:, 1:],
+            mask=jnp.ones_like(batch["tokens"][:, 1:], jnp.float32),
+            chunk=args.ce_chunk)
+        return loss / denom + 0.01 * aux, {"ntok": denom}
+
+    step_fn = make_train_step(loss_fn, tx, clip_grad_norm=1.0, microbatches=acc)
+    state = jax.jit(lambda p: TrainState.create(p, tx), donate_argnums=(0,))(params)
+    jax.block_until_ready(state.opt_state)
+    data = np.random.RandomState(0).randint(3, cfg.vocab_size - 1, size=(acc, mb, T))
+    batch = {"tokens": jnp.asarray(data if acc > 1 else data[0], jnp.int32)}
+    rng = jax.random.PRNGKey(1)
+
+    parts = {}
+    if args.moe_breakdown:
+        parts = moe_layer_breakdown(cfg.decoder_cfg(), mb, T, args)
+
+    multi = make_multi_step(step_fn, args.inner)
+    t0 = time.time()
+    med, times, loss = time_multi(multi, state, batch, rng, args.inner, args.steps)
+    print(f"compile+measure: {time.time()-t0:.1f}s", flush=True)
+    tokens_step = mb * acc * (T - 1)
+    n_moe_layers = cfg.num_layers // cfg.moe_freq
+    # expert FLOPs: every expert processes `cap` slots per group and there
+    # are mb*acc groups, so sum over moe layers of
+    # 6 * (2*M*F per expert) * (E*cap*groups) = 6 * n_mm_exp * cap * groups.
+    flops = (
+        transformer_train_flops(n_mm_dense, mb * acc * T, cfg.num_layers,
+                                cfg.embed_dim, T)
+        + 6.0 * n_mm_exp * cap * mb * acc
+    )
+    peak = detect_peak()
+    return {
+        "workload": "xmoe_train", "batch": mb * acc, "seq": T,
+        "experts": E_exp, "capacity": cap, "moe_layers": n_moe_layers,
+        "microbatches": acc, "optimizer": args.optimizer,
+        "step_ms": round(med * 1e3, 1),
+        "tokens_per_s": round(tokens_step / med),
+        "model_tflops_per_s": round(flops / med / 1e12, 1),
+        "mfu": round(flops / med / peak, 3), "loss": round(loss, 3),
+        **({"layer_breakdown_ms": parts} if parts else {}),
+        "times_ms": [round(t * 1e3, 1) for t in sorted(times)],
+    }
+
+
+def moe_layer_breakdown(tcfg, mb, T, args):
+    """On-chip fwd+bwd timing of ONE MoE layer's components at the bench
+    shape: full layer, gating-only, dispatch einsum, expert FFN, combine
+    einsum. The reference's equivalent is the all_to_all timing stats in
+    moe_layer.py:332-360."""
+    import dataclasses as _dc
+    from functools import partial
+
+    from unilm_tpu.core.layers import FeedForward
+    from unilm_tpu.core.moe import MoELayer, _top2_gating
+
+    M = tcfg.embed_dim
+    E = tcfg.moe_experts
+    cap = max(int(np.ceil(T * tcfg.moe_capacity_factor / E)), 4)
+    cap = min(-(-cap // 8) * 8, T)
+    x = jnp.asarray(np.random.RandomState(0).randn(mb, T, M), jnp.bfloat16)
+
+    layer = MoELayer(tcfg)
+    lp = layer.init(jax.random.PRNGKey(0), x)["params"]
+
+    def t_loss(fn, *operands):
+        """median ms of one fwd+bwd of fn, `inner` reps scanned in one jit
+        (the scan carry feeds the grad-norm back into the next rep's input
+        scale so XLA cannot hoist the body out of the loop). Params must be
+        passed as operands, not closed over — closure arrays embed as HLO
+        constants and blow past the axon remote-compile request limit."""
+        g = jax.grad(lambda ops, s: jnp.sum(fn(*jax.tree.map(
+            lambda o: o * (1.0 + 1e-20 * s).astype(o.dtype), ops)) ** 2))
+
+        @jax.jit
+        def many(ops):
+            def body(c, _):
+                gr = g(ops, c)
+                s = sum(jnp.sum(l.astype(jnp.float32) ** 2)
+                        for l in jax.tree.leaves(gr))
+                return c + 1e-20 * s, None
+            out, _ = jax.lax.scan(body, jnp.zeros(()), None, length=args.inner)
+            return out
+
+        float(many(operands))  # compile+warm
+        ts = []
+        for _ in range(max(args.steps, 4)):
+            t0 = time.perf_counter()
+            float(many(operands))
+            ts.append((time.perf_counter() - t0 - TUNNEL_S) / args.inner)
+        return statistics.median(ts) * 1e3
+
+    full = t_loss(lambda lp_, xx: layer.apply({"params": lp_}, xx)[0], lp, x)
+
+    # gating only: fp32 logits -> combine/dispatch tensors
+    def gate_only(xx):
+        logits = jnp.einsum("gsm,me->gse", xx.astype(jnp.float32),
+                            jnp.ones((M, E), jnp.float32) * 1e-3)
+        c, d, aux = _top2_gating(logits, cap, True, None, "all")
+        return c.sum() + d.astype(jnp.float32).sum() + aux
+
+    gating = t_loss(gate_only, x)
+
+    # dispatch einsum only (fixed mask)
+    disp_mask = jnp.zeros((mb, T, E, cap), jnp.bfloat16).at[:, :, 0, 0].set(1)
+    dispatch = t_loss(
+        lambda m_, xx: jnp.einsum("gsec,gsm->egcm", m_, xx), disp_mask, x)
+
+    # expert FFN only on pre-dispatched input
+    ecfg = _dc.replace(tcfg, quant_weights=False)
+    import flax.linen as nn
+    expert_ffn = nn.vmap(FeedForward, in_axes=(0, None), out_axes=0,
+                         variable_axes={"params": 0},
+                         split_rngs={"params": True, "dropout": True},
+                         )(ecfg)
+    ein = jnp.asarray(np.random.RandomState(1).randn(E, mb * cap, M),
+                      jnp.bfloat16)
+    ep = expert_ffn.init(jax.random.PRNGKey(1), ein, True)["params"]
+    experts = t_loss(
+        lambda ep_, xx: expert_ffn.apply({"params": ep_}, xx, True), ep, ein)
+
+    # combine einsum only
+    comb = jnp.zeros((mb, T, E, cap), jnp.bfloat16).at[:, :, 0, 0].set(0.7)
+    eout = jnp.asarray(np.random.RandomState(2).randn(E, mb, cap, M),
+                       jnp.bfloat16)
+    combine = t_loss(
+        lambda c_, eo: jnp.einsum("gsec,egcm->gsm", c_, eo), comb, eout)
+
+    parts = {"full_layer": round(full, 2), "gating": round(gating, 2),
+             "dispatch_einsum": round(dispatch, 2),
+             "expert_ffn": round(experts, 2),
+             "combine_einsum": round(combine, 2)}
+    print(f"moe layer breakdown (ms, fwd+bwd, mb={mb} T={T}): {parts}",
+          flush=True)
+    return parts
+
+
 WORKLOADS = {
     "gpt1p3b": "bench_gpt", "beit_b": "bench_beit", "kosmos": "bench_kosmos",
     "beit_pretrain": "bench_beit_pretrain", "layoutlmv3": "bench_layoutlmv3",
-    "trocr": "bench_trocr",
+    "trocr": "bench_trocr", "moe": "bench_moe",
 }
 
 
@@ -607,6 +810,10 @@ def main():
     p.add_argument("--param_dtype", default="fp32", choices=["fp32", "bf16"],
                    help="bf16 = fairseq --memory-efficient-fp16 equivalent "
                         "(params+grads half precision, no fp32 master)")
+    p.add_argument("--moe_experts", type=int, default=8)
+    p.add_argument("--moe_breakdown", action="store_true",
+                   help="also time one MoE layer's gating/dispatch/expert/"
+                        "combine components fwd+bwd (moe workload)")
     args = p.parse_args()
     print(f"device: {jax.devices()[0].device_kind}  "
           f"peak bf16 = {detect_peak()/1e12:.0f} TF/s", flush=True)

@@ -175,6 +175,34 @@ class TestMoE:
         y = dec.apply(params, x)
         assert y.shape == x.shape
 
+    @pytest.mark.parametrize("remat", [False, True])
+    def test_apply_with_moe_aux_collects_gate_loss(self, remat):
+        """The sowed GShard balance loss must reach the training loss (a
+        plain apply silently drops it) and carry gradient to the gate —
+        including under remat (fairseq --moe-gate-loss-wt equivalent)."""
+        from unilm_tpu.runtime.train import apply_with_moe_aux
+
+        cfg = base_cfg(moe_experts=4, moe_freq=2, num_layers=2,
+                       moe_gate_dim=8, remat=remat)
+        dec = Decoder(cfg)
+        x = rand(0, B, 16, E)
+        params = dec.init(jax.random.PRNGKey(1), x)["params"]
+        out, aux = apply_with_moe_aux(dec, {"params": params}, x)
+        assert out.shape == x.shape
+        assert float(aux) > 0  # E*E-scaled density product is positive
+
+        def loss(p):
+            _, a = apply_with_moe_aux(dec, {"params": p}, x)
+            return a
+
+        g = jax.grad(loss)(params)
+        gate_leaves = [
+            leaf for path, leaf in jax.tree_util.tree_leaves_with_path(g)
+            if "gate" in "/".join(getattr(q, "key", str(q)) for q in path)
+        ]
+        assert gate_leaves
+        assert any(float(jnp.abs(l).max()) > 0 for l in gate_leaves)
+
 
 class TestRemat:
     """--checkpoint-activations equivalent (torchscale decoder.py:351-364)."""

@@ -183,3 +183,166 @@ def test_end_to_end_cli_smoke():
         "--tiny", "--eval",
     ])
     assert state is not None
+
+
+# --------------------------------------------------------------------------- #
+# ICDAR-19 cTDaR weighted F1 (dit table detection protocol)
+# --------------------------------------------------------------------------- #
+
+
+def _icdar_oracle_tp(gt, pred, t):
+    """Direct transcription of evaluate_result_reg (table_evaluation/
+    evaluate.py:135-155): each GT takes the first remaining pred with
+    IoU >= t, in list order."""
+    remaining = list(range(len(pred)))
+    tp = 0
+    for g in gt:
+        for ri in list(remaining):
+            iou = box_iou_np(np.asarray([g]), np.asarray([pred[ri]]))[0, 0]
+            if iou >= t:
+                remaining.remove(ri)
+                tp += 1
+                break
+    return tp
+
+
+def test_icdar_table_wf1_matches_oracle():
+    from unilm_tpu.scoring_detection import evaluate_icdar_table_detection
+
+    rng = np.random.RandomState(0)
+    preds, gts = [], []
+    for _ in range(6):
+        def boxes(n):
+            xy = rng.rand(n, 2) * 80
+            wh = rng.rand(n, 2) * 60 + 5
+            return np.concatenate([xy, xy + wh], -1)
+        g = boxes(rng.randint(0, 5))
+        # half the preds are jittered copies of gt, half random
+        jitter = g + rng.randn(*g.shape) * rng.choice([1.0, 8.0], (len(g), 1))
+        p = np.concatenate([jitter, boxes(rng.randint(0, 4))]) \
+            if len(g) else boxes(rng.randint(0, 4))
+        preds.append(p)
+        gts.append(g)
+
+    res = evaluate_icdar_table_detection(preds, gts)
+    f1s = []
+    for t in (0.6, 0.7, 0.8, 0.9):
+        tp = sum(_icdar_oracle_tp(g, p, t) for g, p in zip(gts, preds))
+        n_gt = sum(len(g) for g in gts)
+        n_res = sum(len(p) for p in preds)
+        prec = tp / n_res if n_res else 0.0
+        rec = tp / n_gt if n_gt else 0.0
+        f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+        assert abs(res[f"f1@{t}"] - f1) < 1e-12, t
+        f1s.append(f1)
+    w = (0.6 * f1s[0] + 0.7 * f1s[1] + 0.8 * f1s[2] + 0.9 * f1s[3]) / 3.0
+    assert abs(res["wF1"] - w) < 1e-12
+
+
+def test_icdar_table_wf1_known_values():
+    from unilm_tpu.scoring_detection import evaluate_icdar_table_detection
+
+    gt = [np.asarray([[0, 0, 100, 100], [200, 200, 300, 300]])]
+    # first pred: IoU 1.0 with gt0; second: IoU 0.83 with gt1; third: miss
+    pred = [np.asarray([[0, 0, 100, 100], [200, 200, 300, 283],
+                        [500, 500, 510, 510]])]
+    res = evaluate_icdar_table_detection(pred, gt)
+    f_two = 2 * (2 / 3) * 1.0 / (2 / 3 + 1.0)  # tp=2: p=2/3, r=1
+    f_one = 2 * (1 / 3) * (1 / 2) / (1 / 3 + 1 / 2)  # tp=1 (0.83 < 0.9)
+    assert res["f1@0.6"] == pytest.approx(f_two)
+    assert res["f1@0.8"] == pytest.approx(f_two)
+    assert res["f1@0.9"] == pytest.approx(f_one)
+    assert res["wF1"] == pytest.approx(
+        (0.6 * f_two + 0.7 * f_two + 0.8 * f_two + 0.9 * f_one) / 3.0)
+    # perfect detector
+    res2 = evaluate_icdar_table_detection(
+        [gt[0].copy()], gt)
+    assert res2["wF1"] == pytest.approx(1.0)
+
+
+# --------------------------------------------------------------------------- #
+# FUNSD text detection (ICDAR-2015 DetEval protocol)
+# --------------------------------------------------------------------------- #
+
+
+def _deteval_oracle(gts, preds, s):
+    """Direct transcription of DetectionIoUEvaluator.evaluate_image +
+    combine_results (concern/icdar2015_eval/detection/iou.py) with the
+    FUNSDEvaluator score filter + int(x+0.5) rounding
+    (funsd_evaluation.py:85-100), rect IoU."""
+    matched_sum = care_gt = care_det = 0
+    for gt, pred in zip(gts, preds):
+        gb, gi = [], []
+        for b, ign in zip(gt["boxes"], gt.get("ignore", [False] * len(gt["boxes"]))):
+            if b[2] > b[0] and b[3] > b[1]:  # is_valid polygon
+                gb.append(b)
+                gi.append(ign)
+        db = []
+        for b, sc in zip(pred["boxes"], pred["scores"]):
+            if sc < s:
+                continue
+            x0, y0, x1, y1 = (int(v + 0.5) for v in b)
+            x0, x1 = min(x0, x1), max(x0, x1)
+            y0, y1 = min(y0, y1), max(y0, y1)
+            if x1 > x0 and y1 > y0:
+                db.append([x0, y0, x1, y1])
+        det_ignore = []
+        for d in db:
+            ig = False
+            for b, ign in zip(gb, gi):
+                if not ign:
+                    continue
+                ix = max(0, min(d[2], b[2]) - max(d[0], b[0]))
+                iy = max(0, min(d[3], b[3]) - max(d[1], b[1]))
+                area = (d[2] - d[0]) * (d[3] - d[1])
+                if area > 0 and ix * iy / area > 0.5:
+                    ig = True
+                    break
+            det_ignore.append(ig)
+        g_taken = [False] * len(gb)
+        d_taken = [False] * len(db)
+        for a in range(len(gb)):
+            for d in range(len(db)):
+                if (not g_taken[a] and not d_taken[d] and not gi[a]
+                        and not det_ignore[d]):
+                    iou = box_iou_np(np.asarray([gb[a]], float),
+                                     np.asarray([db[d]], float))[0, 0]
+                    if iou > 0.5:
+                        g_taken[a] = True
+                        d_taken[d] = True
+                        matched_sum += 1
+        care_gt += sum(1 for x in gi if not x)
+        care_det += sum(1 for x in det_ignore if not x)
+    p = matched_sum / care_det if care_det else 0.0
+    r = matched_sum / care_gt if care_gt else 0.0
+    h = 2 * p * r / (p + r) if p + r else 0.0
+    return p, r, h
+
+
+def test_funsd_text_detection_matches_oracle():
+    from unilm_tpu.scoring_detection import evaluate_text_detection
+
+    rng = np.random.RandomState(1)
+    preds, gts = [], []
+    for _ in range(5):
+        n = rng.randint(1, 8)
+        xy = rng.rand(n, 2) * 200
+        wh = rng.rand(n, 2) * 60 + 4
+        g = np.concatenate([xy, xy + wh], -1)
+        ignore = rng.rand(n) < 0.25
+        jit = g + rng.randn(n, 4) * rng.choice([0.5, 10.0], (n, 1))
+        extra_xy = rng.rand(3, 2) * 200
+        extra = np.concatenate([extra_xy, extra_xy + rng.rand(3, 2) * 50 + 4], -1)
+        p = np.concatenate([jit, extra])
+        scores = rng.rand(len(p))
+        gts.append({"boxes": g, "ignore": ignore})
+        preds.append({"boxes": p, "scores": scores})
+
+    res = evaluate_text_detection(preds, gts)
+    for s in (0.3, 0.5, 0.7, 0.9):
+        p, r, h = _deteval_oracle(gts, preds, s)
+        assert res[f"{s:.1f}_precision"] == pytest.approx(p, abs=1e-12), s
+        assert res[f"{s:.1f}_recall"] == pytest.approx(r, abs=1e-12), s
+        assert res[f"{s:.1f}_hmean"] == pytest.approx(h, abs=1e-12), s
+    assert res["best_hmean"] == pytest.approx(
+        max(res[f"{s:.1f}_hmean"] for s in (0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)))

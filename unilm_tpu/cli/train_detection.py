@@ -92,6 +92,11 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--eval", action="store_true")
+    p.add_argument("--eval-protocol", default="coco",
+                   choices=["coco", "icdar_table", "funsd_text"],
+                   help="extra protocol metrics next to COCO mAP: ICDAR-19 "
+                        "cTDaR wF1 (dit table detection) or FUNSD "
+                        "text-detection DetEval P/R/hmean")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
@@ -208,7 +213,20 @@ def evaluate(model, params, val_data, args, head="fcos"):
             gts.append(
                 {"boxes": batch["boxes"][i][gm], "labels": batch["labels"][i][gm]}
             )
-    return evaluate_detections(preds, gts, args.num_classes)
+    metrics = evaluate_detections(preds, gts, args.num_classes)
+    if getattr(args, "eval_protocol", "coco") == "icdar_table":
+        # ICDAR-19 cTDaR wF1 (dit/README.md:79-99): score-desc box lists
+        from unilm_tpu.scoring_detection import evaluate_icdar_table_detection
+
+        metrics.update(evaluate_icdar_table_detection(
+            [p["boxes"][np.argsort(-p["scores"], kind="stable")]
+             for p in preds],
+            [g["boxes"] for g in gts]))
+    elif getattr(args, "eval_protocol", "coco") == "funsd_text":
+        from unilm_tpu.scoring_detection import evaluate_text_detection
+
+        metrics.update(evaluate_text_detection(preds, gts))
+    return metrics
 
 
 if __name__ == "__main__":

@@ -31,7 +31,8 @@ from unilm_tpu.runtime.checkpoint import CheckpointManager
 from unilm_tpu.runtime.logging import JsonlLogger, find_nonfinite
 from unilm_tpu.runtime.optim import polynomial_decay_schedule
 from unilm_tpu.ops.fused_ce import chunked_cross_entropy
-from unilm_tpu.runtime.train import TrainState, cross_entropy_loss, make_train_step
+from unilm_tpu.runtime.train import (TrainState, apply_with_moe_aux,
+                                     cross_entropy_loss, make_train_step)
 
 import optax
 
@@ -123,6 +124,9 @@ def main(argv=None):
     p.add_argument("--vocab", type=int, default=0, help="override vocab size")
     p.add_argument("--moe_freq", type=int, default=0)
     p.add_argument("--moe_experts", type=int, default=0)
+    p.add_argument("--moe_gate_loss_wt", type=float, default=0.01,
+                   help="weight on the GShard load-balance loss "
+                        "(fairseq --moe-gate-loss-wt)")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--bf16", action="store_true", default=True)
     args = p.parse_args(argv)
@@ -197,23 +201,31 @@ def main(argv=None):
                 targets, mask=mask, chunk=args.ce_chunk)
         return cross_entropy_loss(feats_or_logits, targets, mask=mask)
 
+    moe = args.moe_freq > 0 and args.moe_experts > 0
+
+    def _apply(p, *a, **kw):
+        """MoE models also collect the sowed gate loss (criterion adds
+        moe_gate_loss * wt, fairseq moe_cross_entropy equivalent)."""
+        if moe:
+            return apply_with_moe_aux(model, {"params": p}, *a, **kw)
+        return model.apply({"params": p}, *a, **kw), jnp.zeros((), jnp.float32)
+
     if multimodal:
         def loss_fn(p, batch, rng):
-            out = model.apply(
-                {"params": p}, batch["tokens"], batch["images"][:, 0],
+            out, aux = _apply(
+                p, batch["tokens"], batch["images"][:, 0],
                 batch["img_mask"], batch["segs"],
                 return_features=args.fused_ce,
             )
             # UniGPTLoss: CE over text positions only (unigpt.py:24-70)
             s, n = _ce(p, out[:, :-1], batch["tokens"][:, 1:],
                        batch["loss_mask"][:, 1:])
-            return s / n, {"ntok": n}
+            return s / n + args.moe_gate_loss_wt * aux, {"ntok": n}
     else:
         def loss_fn(p, batch, rng):
-            out = model.apply({"params": p}, batch,
-                              return_features=args.fused_ce)
+            out, aux = _apply(p, batch, return_features=args.fused_ce)
             s, n = _ce(p, out[:, :-1], batch[:, 1:], None)
-            return s / n, {"ntok": n}
+            return s / n + args.moe_gate_loss_wt * aux, {"ntok": n}
 
     step_fn = jax.jit(make_train_step(
         loss_fn, tx, clip_grad_norm=args.clip_norm,

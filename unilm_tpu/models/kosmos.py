@@ -225,6 +225,10 @@ class UniGPTConfig:
     moe_freq: int = 0  # X-MoE every Nth layer (kosmos xmoe arches)
     moe_experts: int = 0
     moe_top: int = 2
+    moe_capacity_factor: float = 1.0  # train capacity (GShard C = S*cf/E)
+    moe_eval_capacity_factor: float = 2.0
+    moe_gate_dim: int = 0  # xMoE low-dim cosine routing (routing.py xMoE)
+    moe_second_expert_policy: str = "random"
     remat: bool = False  # --checkpoint-activations (kosmos-2 train.sh:50)
     remat_policy: str = "full"  # see TransformerConfig.remat_policy
     # image tower: 'clip' (k2) | 'pix2struct' (k2.5) | None
@@ -247,7 +251,12 @@ class UniGPTConfig:
             xpos_rel_pos=self.xpos_rel_pos, scale_length=self.scale_length,
             activation=self.activation, dropout=self.dropout,
             moe_freq=self.moe_freq, moe_experts=self.moe_experts,
-            moe_top=self.moe_top, remat=self.remat,
+            moe_top=self.moe_top,
+            moe_capacity_factor=self.moe_capacity_factor,
+            moe_eval_capacity_factor=self.moe_eval_capacity_factor,
+            moe_gate_dim=self.moe_gate_dim,
+            moe_second_expert_policy=self.moe_second_expert_policy,
+            remat=self.remat,
             remat_policy=self.remat_policy,
             dtype=self.dtype, param_dtype=self.param_dtype,
             use_flash=self.use_flash, quant_weights=self.quant_weights,

@@ -52,6 +52,21 @@ def cross_entropy_loss(
     return jnp.sum(nll), jnp.asarray(nll.size, jnp.float32)
 
 
+def apply_with_moe_aux(model, variables, *args, **kwargs):
+    """model.apply that also returns the summed MoE load-balance loss.
+
+    MoE layers sow their GShard aux loss into the 'losses' collection
+    (core/transformer.py sow('losses', 'moe_aux')); a plain apply silently
+    drops it (flax sow is a no-op when the collection isn't mutable), which
+    would train MoE without the balance term the reference applies via
+    moe_gate_loss (torchscale xmoe routing.py l_aux + fairseq
+    --moe-gate-loss-wt). Returns (outputs, aux_loss_sum)."""
+    out, mut = model.apply(variables, *args, mutable=["losses"], **kwargs)
+    leaves = jax.tree.leaves(mut.get("losses", {}))
+    aux = sum((jnp.sum(l) for l in leaves), jnp.zeros((), jnp.float32))
+    return out, aux
+
+
 def make_train_step(
     loss_fn: Callable[..., Tuple[jax.Array, Any]],
     tx: optax.GradientTransformation,

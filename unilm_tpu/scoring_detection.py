@@ -112,3 +112,140 @@ def evaluate_detections(
         if not np.isnan(per_class[c]):
             result[f"AP_class_{c}"] = float(per_class[c])
     return result
+
+
+def evaluate_icdar_table_detection(
+    predictions: Sequence[np.ndarray],  # per image: [N, 4] xyxy (pre-sorted)
+    ground_truth: Sequence[np.ndarray],  # per image: [M, 4] xyxy
+    iou_thresholds: Sequence[float] = (0.6, 0.7, 0.8, 0.9),
+) -> Dict[str, float]:
+    """ICDAR-2019 cTDaR TRACK A (table region) weighted-average F1.
+
+    Protocol of dit/object_detection/ditod/table_evaluation/evaluate.py
+    (calc_table_score + eval.evaluate_result_reg, the metric behind the
+    dit/README.md:79-99 wF1 tables): per image, each GT table greedily
+    takes the FIRST remaining prediction (list order) with IoU >= t; true
+    positives / GT / result counts are summed over the dataset per IoU
+    threshold t in {0.6, 0.7, 0.8, 0.9}; F1(t) combine into
+    wF1 = sum(t * F1(t)) / sum(t) (evaluate.py:274-278,352-380).
+
+    Predictions carry no scores in the reference's XML submission format —
+    pass each image's boxes in the order your decoder emits them (the
+    serialization order is part of the protocol).
+    """
+    assert len(predictions) == len(ground_truth)
+    result: Dict[str, float] = {}
+    f1s = []
+    for t in iou_thresholds:
+        tp, n_gt, n_res = 0, 0, 0
+        for pred, gt in zip(predictions, ground_truth):
+            pred = np.asarray(pred, np.float64).reshape(-1, 4)
+            gt = np.asarray(gt, np.float64).reshape(-1, 4)
+            n_gt += len(gt)
+            n_res += len(pred)
+            if len(gt) == 0 or len(pred) == 0:
+                continue
+            iou = box_iou_np(gt, pred)
+            remaining = list(range(len(pred)))
+            for gi in range(len(gt)):
+                for ri in remaining:
+                    if iou[gi, ri] >= t:
+                        remaining.remove(ri)
+                        tp += 1
+                        break
+        p = tp / n_res if n_res else 0.0
+        r = tp / n_gt if n_gt else 0.0
+        f1 = 2 * p * r / (p + r) if (p + r) else 0.0
+        result[f"precision@{t}"] = p
+        result[f"recall@{t}"] = r
+        result[f"f1@{t}"] = f1
+        f1s.append(f1)
+    ts = np.asarray(iou_thresholds, np.float64)
+    result["wF1"] = float(np.sum(ts * np.asarray(f1s)) / np.sum(ts))
+    return result
+
+
+def evaluate_text_detection(
+    predictions: Sequence[Dict],  # per image: boxes [N,4] xyxy, scores [N]
+    ground_truth: Sequence[Dict],  # per image: boxes [M,4], ignore [M] bool opt
+    iou_thresh: float = 0.5,
+    area_precision_thresh: float = 0.5,
+    score_thresholds: Sequence[float] = (0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+) -> Dict[str, float]:
+    """FUNSD text-detection eval (ICDAR-2015 DetEval over word boxes).
+
+    Protocol of dit/text_detection/ditod/funsd_evaluation.py
+    (FUNSDEvaluator.evaluate) + concern/icdar2015_eval/detection/iou.py
+    (DetectionIoUEvaluator): for each score threshold s in 0.3..0.9,
+    detections with score < s are dropped, box corners are rounded
+    int(x + 0.5) (funsd_evaluation.py:92-95), then per image GT and
+    detections match greedily in index order when IoU > 0.5 (one-to-one,
+    iou.py:132-140); detections covering an ignore GT region with
+    area-precision > 0.5 are discarded; global P/R/hmean aggregate the
+    per-image counts (iou.py combine_results). Degenerate (zero-area)
+    boxes are skipped like shapely's is_valid check skips them.
+
+    Returns {'0.3_precision', '0.3_recall', '0.3_hmean', ..., 'best_hmean'}.
+    """
+    assert len(predictions) == len(ground_truth)
+    result: Dict[str, float] = {}
+    best = 0.0
+    for s in score_thresholds:
+        matched_sum, care_gt, care_det = 0, 0, 0
+        for pred, gt in zip(predictions, ground_truth):
+            gboxes = np.asarray(gt["boxes"], np.float64).reshape(-1, 4)
+            gignore = np.asarray(
+                gt.get("ignore", np.zeros(len(gboxes), bool)), bool)
+            gvalid = (gboxes[:, 2] > gboxes[:, 0]) & (gboxes[:, 3] > gboxes[:, 1])
+            gboxes, gignore = gboxes[gvalid], gignore[gvalid]
+
+            boxes = np.asarray(pred["boxes"], np.float64).reshape(-1, 4)
+            scores = np.asarray(pred["scores"], np.float64).reshape(-1)
+            boxes = boxes[scores >= s]
+            boxes = np.floor(boxes + 0.5)  # int(x + 0.5) corner rounding
+            x0 = np.minimum(boxes[:, 0], boxes[:, 2])
+            x1 = np.maximum(boxes[:, 0], boxes[:, 2])
+            y0 = np.minimum(boxes[:, 1], boxes[:, 3])
+            y1 = np.maximum(boxes[:, 1], boxes[:, 3])
+            boxes = np.stack([x0, y0, x1, y1], -1)
+            boxes = boxes[(boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])]
+
+            # detections matching an ignore GT at area-precision > 0.5
+            det_ignore = np.zeros(len(boxes), bool)
+            ign_boxes = gboxes[gignore]
+            if len(ign_boxes) and len(boxes):
+                ix = np.maximum(0.0, np.minimum(boxes[:, None, 2], ign_boxes[None, :, 2])
+                                - np.maximum(boxes[:, None, 0], ign_boxes[None, :, 0]))
+                iy = np.maximum(0.0, np.minimum(boxes[:, None, 3], ign_boxes[None, :, 3])
+                                - np.maximum(boxes[:, None, 1], ign_boxes[None, :, 1]))
+                inter = ix * iy
+                det_area = np.maximum(
+                    (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1]), 1e-9)
+                det_ignore = np.any(inter / det_area[:, None]
+                                    > area_precision_thresh, axis=1)
+
+            iou = box_iou_np(gboxes, boxes)
+            g_taken = np.zeros(len(gboxes), bool)
+            d_taken = np.zeros(len(boxes), bool)
+            m = 0
+            for gi in range(len(gboxes)):
+                if gignore[gi]:
+                    continue
+                for di in range(len(boxes)):
+                    if (not g_taken[gi] and not d_taken[di]
+                            and not det_ignore[di] and iou[gi, di] > iou_thresh):
+                        g_taken[gi] = True
+                        d_taken[di] = True
+                        m += 1
+            matched_sum += m
+            care_gt += int(np.sum(~gignore))
+            care_det += int(np.sum(~det_ignore))
+        p = matched_sum / care_det if care_det else 0.0
+        r = matched_sum / care_gt if care_gt else 0.0
+        h = 2 * p * r / (p + r) if (p + r) else 0.0
+        result[f"{s:.1f}_precision"] = p
+        result[f"{s:.1f}_recall"] = r
+        result[f"{s:.1f}_hmean"] = h
+        best = max(best, h)
+    result["best_hmean"] = best
+    return result
