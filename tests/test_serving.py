@@ -429,3 +429,63 @@ def test_spec_step_preserves_sampled_slot_distribution():
     # the deterministic greedy continuation with probability ~64^-16
     ref_s = reference_greedy(cfg, params, s_prompt, 16, 63)
     assert list(out["s"]) != list(ref_s[: len(out["s"])])
+
+
+def test_chunked_prefill_bounds_decode_stalls():
+    """Sarathi-style chunked prefill (serving.py _prefill_chunk): while a
+    request decodes, a newly admitted LONG prompt must never occupy the
+    engine for more than one prefill_bucket of prompt tokens between two
+    decode steps — the structural bound behind the serving SLO benchmark's
+    stall metric (benchmarks/serving_slo.py). With bucket >= prompt length
+    the whole prompt lands in one gap (the unchunked baseline)."""
+    cfg = tiny_cfg(max_positions=256)
+    params = init_params(cfg)
+    long_prompt = [7] * 96
+
+    def max_prefill_tokens_between_decodes(bucket):
+        scfg = ServingConfig(max_batch=2, page_size=8, num_pages=64,
+                             max_pages_per_seq=16, max_new_tokens=24,
+                             eos=63, prefill_bucket=bucket)
+        eng = ServingEngine(cfg, scfg, params)
+        eng.submit("a", [5, 9, 11], 24)   # decoding while b prefills
+        events = []
+        orig_chunk, orig_step = eng._prefill_chunk, eng.step
+
+        def chunk(slot):
+            before = eng.slots[slot].filled
+            orig_chunk(slot)
+            after = (eng.slots[slot].filled if eng.slots[slot]
+                     else len(long_prompt))
+            events.append(("prefill", after - before))
+
+        def step():
+            orig_step()
+            events.append(("decode", 0))
+
+        eng._prefill_chunk, eng.step = chunk, step
+        # let "a" start decoding, then the long prompt arrives mid-flight
+        while len(eng.outputs["a"]) < 4:
+            while eng._try_admit():
+                pass
+            pre = eng._prefilling_slots()
+            if pre:
+                eng._prefill_chunk(pre[0])
+            if eng.active.any():
+                eng.step()
+        eng.submit("b", list(long_prompt), 4)
+        eng.run()
+        assert len(eng.outputs["b"]) == 4
+        # max prompt tokens prefilled between two consecutive decode steps
+        gap, worst = 0, 0
+        for kind, n in events:
+            if kind == "decode":
+                worst = max(worst, gap)
+                gap = 0
+            else:
+                gap += n
+        return max(worst, gap)
+
+    chunked = max_prefill_tokens_between_decodes(16)
+    unchunked = max_prefill_tokens_between_decodes(128)
+    assert chunked <= 16, chunked
+    assert unchunked >= len(long_prompt), unchunked

@@ -477,73 +477,75 @@ class CascadeRCNN(nn.Module):
         return self.fpn(self.backbone_vit(images, deterministic))
 
     def propose(self, feats):
-        """Per-image RPN over the batch. Returns (boxes [B, P, 4], scores)."""
+        """Batched RPN: the head runs once; the pure proposal math (top-k,
+        NMS, clip) is vmapped over the batch — ONE compiled program
+        regardless of B (the round-2 per-image Python loop compiled B full
+        copies of the proposal graph). Returns (boxes [B, P, 4], scores)."""
         cfg = self.cfg
         logits, deltas = self.rpn_head(feats)
         anchors = make_all_anchors(cfg, feats)
+        return jax.vmap(
+            lambda lg, dl: rpn_proposals(cfg, lg, dl, anchors, cfg.img_size)
+        )(logits, deltas)
 
-        def one(i):
-            lg = {k: v[i] for k, v in logits.items()}
-            dl = {k: v[i] for k, v in deltas.items()}
-            return rpn_proposals(cfg, lg, dl, anchors, cfg.img_size)
+    def _pool(self, feats, boxes, resolution):
+        """Multilevel RoIAlign vmapped over the batch: feats {level: [B,
+        H, W, C]} x boxes [B, P, 4] -> [B, P, res, res, C]."""
+        roi_feats = {k: v for k, v in feats.items() if k != "p6"}
+        return jax.vmap(lambda f, b: multilevel_roi_align(
+            f, b, resolution, self.cfg.sampling_ratio))(roi_feats, boxes)
 
-        B = next(iter(feats.values())).shape[0]
-        boxes, scores = [], []
-        for i in range(B):  # B is static & small for detection
-            b, s = one(i)
-            boxes.append(b)
-            scores.append(s)
-        return jnp.stack(boxes), jnp.stack(scores)
-
-    def cascade_stage(self, k: int, feats_i, boxes):
-        """One cascade stage on one image: pooled -> head -> (cls, deltas,
-        refined boxes)."""
+    def cascade_stage(self, k: int, feats, boxes):
+        """One cascade stage, batched: pooled -> head -> (cls, deltas,
+        refined boxes). feats values [B, H, W, C] (or unbatched [H, W, C]
+        with boxes [P, 4] for the single-image path); heads see one flat
+        [B*P, ...] batch so their matmuls stay large."""
         cfg = self.cfg
-        pooled = multilevel_roi_align(
-            feats_i, boxes, cfg.pooler_resolution, cfg.sampling_ratio)
-        h = self.box_heads[k](pooled)
+        single = boxes.ndim == 2
+        if single:
+            feats = jax.tree.map(lambda v: v[None], feats)
+            boxes = boxes[None]
+        B, P = boxes.shape[:2]
+        pooled = self._pool(feats, boxes, cfg.pooler_resolution)
+        h = self.box_heads[k](pooled.reshape(B * P, *pooled.shape[2:]))
         cls, dlt = self.box_predictors[k](h)
+        cls = cls.reshape(B, P, -1)
+        dlt = dlt.reshape(B, P, 4)
         refined = apply_deltas(dlt, boxes, cfg.cascade_weights[k])
         refined = clip_boxes(refined, (cfg.img_size, cfg.img_size))
+        if single:
+            return cls[0], dlt[0], refined[0]
         return cls, dlt, refined
 
     def __call__(self, images: jax.Array, deterministic: bool = True):
         """Inference: returns dict with padded per-image detections
         (boxes [B, D, 4], scores [B, D], classes [B, D], valid [B, D],
-        masks [B, D, 2*mask_res, 2*mask_res] when mask_on)."""
+        masks [B, D, 2*mask_res, 2*mask_res] when mask_on). Fully batched:
+        heads run on flat [B*P] batches, the pure per-image pieces
+        (RoIAlign levels, NMS postprocess) are vmapped."""
         cfg = self.cfg
         feats = self.features(images, deterministic)
         prop_boxes, prop_scores = self.propose(feats)
-        B = images.shape[0]
         out = {"proposals": prop_boxes, "proposal_scores": prop_scores}
-        det_boxes, det_scores, det_classes, det_valid, det_masks = [], [], [], [], []
-        for i in range(B):
-            feats_i = {k: v[i] for k, v in feats.items() if k != "p6"}
-            boxes = prop_boxes[i]
-            alive = jnp.isfinite(prop_scores[i])
-            stage_scores = []
-            for k in range(len(cfg.cascade_ious)):
-                cls, _, boxes = self.cascade_stage(k, feats_i, boxes)
-                stage_scores.append(jax.nn.softmax(cls, axis=-1))
-            # CascadeROIHeads test: mean of per-stage class probabilities
-            scores = sum(stage_scores) / len(stage_scores)  # [P, C+1]
-            scores = jnp.where(alive[:, None], scores[:, :-1], 0.0)  # drop bg
-            b, s, c, v = self._postprocess(boxes, scores)
-            det_boxes.append(b)
-            det_scores.append(s)
-            det_classes.append(c)
-            det_valid.append(v)
-            if cfg.mask_on:
-                pooled = multilevel_roi_align(
-                    feats_i, b, cfg.mask_pooler_resolution, cfg.sampling_ratio)
-                m = self.mask_head(pooled)  # [D, 28, 28, C]
-                mc = jnp.take_along_axis(
-                    m, c[:, None, None, None], axis=-1)[..., 0]
-                det_masks.append(jax.nn.sigmoid(mc))
-        out.update(boxes=jnp.stack(det_boxes), scores=jnp.stack(det_scores),
-                   classes=jnp.stack(det_classes), valid=jnp.stack(det_valid))
+        alive = jnp.isfinite(prop_scores)  # [B, P]
+        boxes = prop_boxes
+        stage_scores = []
+        for k in range(len(cfg.cascade_ious)):
+            cls, _, boxes = self.cascade_stage(k, feats, boxes)
+            stage_scores.append(jax.nn.softmax(cls, axis=-1))
+        # CascadeROIHeads test: mean of per-stage class probabilities
+        scores = sum(stage_scores) / len(stage_scores)  # [B, P, C+1]
+        scores = jnp.where(alive[..., None], scores[..., :-1], 0.0)  # drop bg
+        b, s, c, v = jax.vmap(self._postprocess)(boxes, scores)
+        out.update(boxes=b, scores=s, classes=c, valid=v)
         if cfg.mask_on:
-            out["masks"] = jnp.stack(det_masks)
+            B, D = c.shape
+            pooled = self._pool(feats, b, cfg.mask_pooler_resolution)
+            m = self.mask_head(pooled.reshape(B * D, *pooled.shape[2:]))
+            m = m.reshape(B, D, *m.shape[1:])  # [B, D, 28, 28, C]
+            mc = jnp.take_along_axis(
+                m, c[:, :, None, None, None], axis=-1)[..., 0]
+            out["masks"] = jax.nn.sigmoid(mc)
         return out
 
     def _postprocess(self, boxes, scores):
@@ -636,74 +638,86 @@ def rcnn_loss(model: CascadeRCNN, params, images, gt_boxes, gt_classes,
     flat_deltas = jnp.concatenate(
         [deltas[k].reshape(B, -1, 4) for k in sorted(deltas.keys())], axis=1)
 
-    total = 0.0
     metrics = {}
-    rngs = jax.random.split(rng, B * (2 + len(cfg.cascade_ious)))
-    ri = 0
     prop_boxes, prop_scores = apply(model.propose, feats)
+    gtb_all = jnp.where(gt_valid[..., None], gt_boxes, -1e4)  # [B, G, 4]
 
-    for i in range(B):
-        gtb = jnp.where(gt_valid[i][:, None], gt_boxes[i], -1e4)
-        iou = box_iou(anchors, gtb)
-        iou = jnp.where(gt_valid[i][None, :], iou, 0.0)
+    # --- RPN losses: pure matching vmapped over the batch -----------------
+    def rpn_one(gtb, gv, lg, dl, r):
+        iou = jnp.where(gv[None, :], box_iou(anchors, gtb), 0.0)
         m_idx, m_lab = _match(iou, (0.3, 0.7), allow_low_quality=True)
         pos, neg = _subsample(m_lab, cfg.rpn_batch_per_image,
-                              cfg.rpn_positive_fraction, rngs[ri]); ri += 1
+                              cfg.rpn_positive_fraction, r)
         sel = pos | neg
-        tgt = jnp.where(pos, 1.0, 0.0)
-        obj_loss = jnp.sum(jnp.where(
-            sel, optax_bce(flat_logits[i], tgt), 0.0)) / cfg.rpn_batch_per_image
+        obj = jnp.sum(jnp.where(sel, optax_bce(lg, jnp.where(pos, 1.0, 0.0)),
+                                0.0)) / cfg.rpn_batch_per_image
         reg_t = get_deltas(anchors, gtb[m_idx], (1.0, 1.0, 1.0, 1.0))
-        reg_loss = jnp.sum(jnp.where(
-            pos[:, None], jnp.abs(flat_deltas[i] - reg_t), 0.0)
-        ) / cfg.rpn_batch_per_image
-        total = total + obj_loss + reg_loss
-        metrics["rpn_cls"] = metrics.get("rpn_cls", 0.0) + obj_loss / B
-        metrics["rpn_reg"] = metrics.get("rpn_reg", 0.0) + reg_loss / B
+        reg = jnp.sum(jnp.where(pos[:, None], jnp.abs(dl - reg_t), 0.0)
+                      ) / cfg.rpn_batch_per_image
+        return obj, reg
 
-        # --- cascade stages -------------------------------------------------
-        feats_i = {k: v[i] for k, v in feats.items() if k != "p6"}
-        # d2 adds gt boxes to the proposal set at train time
-        boxes = jnp.concatenate([prop_boxes[i], gtb[: gt_boxes.shape[1]]])
-        for k, iou_th in enumerate(cfg.cascade_ious):
-            piou = jnp.where(gt_valid[i][None, :], box_iou(boxes, gtb), 0.0)
-            pidx, plab = _match(piou, (iou_th, iou_th), allow_low_quality=False)
-            ppos, pneg = _subsample(plab, cfg.roi_batch_per_image,
-                                    cfg.roi_positive_fraction, rngs[ri]); ri += 1
-            psel = ppos | pneg
-            cls_t = jnp.where(ppos, gt_classes[i][pidx], cfg.num_classes)
-            cls, dlt, refined = model.apply(
-                {"params": params}, k, feats_i, boxes,
-                method=lambda m, k_, f_, b_: m.cascade_stage(k_, f_, b_))
-            logp = jax.nn.log_softmax(cls.astype(jnp.float32), axis=-1)
-            ce = -jnp.take_along_axis(logp, cls_t[:, None], axis=1)[:, 0]
-            n_sel = jnp.maximum(jnp.sum(psel), 1)
-            ce = jnp.sum(jnp.where(psel, ce, 0.0)) / n_sel
-            bt = get_deltas(boxes, gtb[pidx], cfg.cascade_weights[k])
-            bl = jnp.sum(jnp.where(ppos[:, None], jnp.abs(dlt - bt), 0.0)) / n_sel
-            total = total + ce + bl
-            metrics[f"stage{k}_cls"] = metrics.get(f"stage{k}_cls", 0.0) + ce / B
-            metrics[f"stage{k}_reg"] = metrics.get(f"stage{k}_reg", 0.0) + bl / B
-            boxes = jax.lax.stop_gradient(refined)
+    rngs = jax.random.split(rng, 1 + len(cfg.cascade_ious))
+    obj_l, reg_l = jax.vmap(rpn_one)(
+        gtb_all, gt_valid, flat_logits, flat_deltas,
+        jax.random.split(rngs[0], B))
+    total = jnp.sum(obj_l) + jnp.sum(reg_l)
+    metrics["rpn_cls"] = jnp.mean(obj_l)
+    metrics["rpn_reg"] = jnp.mean(reg_l)
 
-        # --- mask loss ------------------------------------------------------
-        if cfg.mask_on and gt_masks is not None:
-            mpos = ppos  # final-stage positives
-            pooled = multilevel_roi_align(
-                feats_i, boxes, cfg.mask_pooler_resolution, cfg.sampling_ratio)
-            mpred = model.apply({"params": params}, pooled,
-                                method=lambda m, p_: m.mask_head(p_))
-            mcls = jnp.clip(cls_t, 0, cfg.num_classes - 1)
-            mpred = jnp.take_along_axis(
-                mpred, mcls[:, None, None, None], axis=-1)[..., 0]
-            tgt_m = crop_gt_masks_for(gt_masks[i], pidx, boxes,
-                                      2 * cfg.mask_pooler_resolution)
-            per_roi = jnp.mean(optax_bce(mpred, tgt_m.astype(mpred.dtype)),
-                               axis=(1, 2))
-            ml = jnp.sum(jnp.where(mpos, per_roi, 0.0)) / jnp.maximum(
-                jnp.sum(mpos), 1)
-            total = total + ml
-            metrics["mask"] = metrics.get("mask", 0.0) + ml / B
+    # --- cascade stages: pure matching vmapped, heads on flat batches -----
+    # d2 adds gt boxes to the proposal set at train time
+    boxes = jnp.concatenate([prop_boxes, gtb_all], axis=1)  # [B, R, 4]
+
+    def match_one(boxes_i, gtb, gv, gc, iou_th, r):
+        piou = jnp.where(gv[None, :], box_iou(boxes_i, gtb), 0.0)
+        pidx, plab = _match(piou, (iou_th, iou_th), allow_low_quality=False)
+        ppos, pneg = _subsample(plab, cfg.roi_batch_per_image,
+                                cfg.roi_positive_fraction, r)
+        cls_t = jnp.where(ppos, gc[pidx], cfg.num_classes)
+        return pidx, ppos, ppos | pneg, cls_t
+
+    for k, iou_th in enumerate(cfg.cascade_ious):
+        pidx, ppos, psel, cls_t = jax.vmap(
+            lambda b_, g_, v_, c_, r_: match_one(b_, g_, v_, c_, iou_th, r_)
+        )(boxes, gtb_all, gt_valid, gt_classes,
+          jax.random.split(rngs[1 + k], B))
+        cls, dlt, refined = model.apply(
+            {"params": params}, k, feats, boxes,
+            method=lambda m, k_, f_, b_: m.cascade_stage(k_, f_, b_))
+        logp = jax.nn.log_softmax(cls.astype(jnp.float32), axis=-1)
+        ce = -jnp.take_along_axis(logp, cls_t[..., None], axis=-1)[..., 0]
+        n_sel = jnp.maximum(jnp.sum(psel, axis=1), 1)  # [B]
+        ce = jnp.sum(jnp.where(psel, ce, 0.0), axis=1) / n_sel
+        bt = jax.vmap(lambda b_, g_, i_: get_deltas(
+            b_, g_[i_], cfg.cascade_weights[k]))(boxes, gtb_all, pidx)
+        bl = jnp.sum(jnp.where(ppos[..., None], jnp.abs(dlt - bt), 0.0),
+                     axis=(1, 2)) / n_sel
+        total = total + jnp.sum(ce) + jnp.sum(bl)
+        metrics[f"stage{k}_cls"] = jnp.mean(ce)
+        metrics[f"stage{k}_reg"] = jnp.mean(bl)
+        boxes = jax.lax.stop_gradient(refined)
+
+    # --- mask loss ---------------------------------------------------------
+    if cfg.mask_on and gt_masks is not None:
+        R = boxes.shape[1]
+        pooled = model.apply(
+            {"params": params}, feats, boxes,
+            method=lambda m, f_, b_: m._pool(f_, b_, cfg.mask_pooler_resolution))
+        mpred = model.apply(
+            {"params": params}, pooled.reshape(B * R, *pooled.shape[2:]),
+            method=lambda m, p_: m.mask_head(p_))
+        mpred = mpred.reshape(B, R, *mpred.shape[1:])
+        mcls = jnp.clip(cls_t, 0, cfg.num_classes - 1)
+        mpred = jnp.take_along_axis(
+            mpred, mcls[:, :, None, None, None], axis=-1)[..., 0]
+        tgt_m = jax.vmap(lambda gm, i_, b_: crop_gt_masks_for(
+            gm, i_, b_, 2 * cfg.mask_pooler_resolution))(gt_masks, pidx, boxes)
+        per_roi = jnp.mean(optax_bce(mpred, tgt_m.astype(mpred.dtype)),
+                           axis=(2, 3))  # [B, R]
+        ml = (jnp.sum(jnp.where(ppos, per_roi, 0.0), axis=1)
+              / jnp.maximum(jnp.sum(ppos, axis=1), 1))
+        total = total + jnp.sum(ml)
+        metrics["mask"] = jnp.mean(ml)
 
     return total / B, metrics
 
