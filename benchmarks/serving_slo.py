@@ -36,6 +36,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent compilation cache (same knobs as tests/conftest.py): this host is
+# CPU-starved, so XLA compiles dominate wall time; cache pays the cost once
+# across the chunked/unchunked/int8 config sweep.
+_cache_dir = os.environ.get("UNILM_JAX_CACHE",
+                            os.path.expanduser("~/.cache/unilm_tpu_jax"))
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 
 def make_trace(args):
     """Deterministic Poisson trace: [(arrival_s, req_id, class, prompt, gen)]."""
@@ -153,11 +162,13 @@ def main():
         cfg = kosmos2_5(dtype=jnp.bfloat16)
         cfg = type(cfg)(**{**cfg.__dict__, "image_tower": None})
     args.vocab = cfg.vocab_size
+    t_init = time.perf_counter()
     model = UniGPT(cfg)
     params = jax.jit(
         lambda r: model.init(r, jnp.ones((1, 8), jnp.int32))["params"]
     )(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
+    print(f"[slo] init {time.perf_counter() - t_init:.1f}s", file=sys.stderr)
 
     page = 64
     pages_per_seq = -(-(args.long_prompt + args.gen_tokens) // page) + 1
@@ -173,11 +184,13 @@ def main():
     trace = make_trace(args)
     # warmup: compile prefill + decode programs off the clock, one request
     # per class so both table layouts and the contig path are compiled
+    t_warm = time.perf_counter()
     engine.submit("warm0", [5] * args.long_prompt, 4)
     engine.submit("warm1", [5] * args.short_prompt, 4)
     engine.run()
     for rid in ("warm0", "warm1"):
         engine.outputs.pop(rid)
+    print(f"[slo] warmup {time.perf_counter() - t_warm:.1f}s", file=sys.stderr)
 
     t0 = time.perf_counter()
     recs = drive(engine, trace)
