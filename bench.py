@@ -19,12 +19,21 @@ amortized inside one jitted lax.fori_loop / lax.scan.
 
 import argparse
 import json
+import os
 import statistics
 import time
 import traceback
 
 import jax
 import jax.numpy as jnp
+
+# Persistent compilation cache (same knobs as tests/conftest.py): this host
+# is CPU-starved, so XLA compiles dominate wall time on first runs.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("UNILM_JAX_CACHE", os.path.expanduser("~/.cache/unilm_tpu_jax")))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 from unilm_tpu.models.beit import BeitForImageClassification, beit_base_patch16_224
 

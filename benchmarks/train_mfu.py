@@ -98,6 +98,38 @@ def time_multi(multi, state, batch, rng, inner, reps):
     return statistics.median(times), times, f
 
 
+def fwd_bwd_breakdown(loss_fn, state, batch, rng, args, extra=()):
+    """Time fwd-only and fwd+bwd (plus any `extra` named phases) with the
+    same scan harness as the full step, so the fwd/bwd/optimizer split of
+    a workload is measurable on-chip.
+
+    loss_fn(params, batch, rng) -> (scalar, aux). `extra` entries are
+    (name, fn) with the step_fn signature fn(state, batch, rng) ->
+    (state, {"loss": scalar}).
+    """
+
+    def fwd_only(st, b, r):
+        l, _ = loss_fn(st.params, b, r)
+        return st, {"loss": l}
+
+    def fwd_bwd(st, b, r):
+        (l, _), g = jax.value_and_grad(
+            lambda p: loss_fn(p, b, r), has_aux=True)(st.params)
+        # fold the grads into the loss so XLA cannot DCE the backward
+        leaves = jax.tree.leaves(g)
+        probe = sum(jnp.sum(x[..., :1, :1].astype(jnp.float32))
+                    for x in leaves if x.ndim >= 2)
+        return st, {"loss": l + 0.0 * probe}
+
+    parts = {}
+    for name, fn in list(extra) + [("fwd", fwd_only), ("fwd+bwd", fwd_bwd)]:
+        m = make_multi_step(fn, args.inner, donate=False)
+        med_p, _, _ = time_multi(m, state, batch, rng, args.inner, args.steps)
+        parts[name] = round(med_p * 1e3, 1)
+        print(f"  {name}: {parts[name]} ms", flush=True)
+    return parts
+
+
 def bench_gpt(args):
     from unilm_tpu.models.kosmos import UniGPT, UniGPTConfig
     from unilm_tpu.runtime.train import TrainState, cross_entropy_loss, make_train_step
@@ -160,31 +192,10 @@ def bench_gpt(args):
     batch = {"tokens": jnp.asarray(data if acc > 1 else data[0], jnp.int32)}
 
     if args.breakdown:
-        # Time fwd-only and fwd+bwd separately (same scan harness) so the
-        # optimizer/backward/forward split of the full step is measurable.
-        mb_tokens = batch["tokens"][0] if acc > 1 else batch["tokens"]
-
-        def fwd_only(state, b, rng):
-            l, _ = loss_fn(state.params, {"tokens": b}, rng)
-            return state, {"loss": l}
-
-        def fwd_bwd(state, b, rng):
-            (l, _), g = jax.value_and_grad(
-                lambda p: loss_fn(p, {"tokens": b}, rng), has_aux=True
-            )(state.params)
-            # fold the grads into the loss so XLA cannot DCE the backward
-            leaves = jax.tree.leaves(g)
-            probe = sum(jnp.sum(x[..., :1, :1].astype(jnp.float32))
-                        for x in leaves if x.ndim >= 2)
-            return state, {"loss": l + 0.0 * probe}
-
-        parts = {}
-        for name, fn in (("fwd", fwd_only), ("fwd+bwd", fwd_bwd)):
-            m = make_multi_step(fn, args.inner, donate=False)
-            med_p, _, _ = time_multi(m, state, mb_tokens, rng,
-                                     args.inner, args.steps)
-            parts[name] = round(med_p * 1e3, 1)
-            print(f"  {name}: {parts[name]} ms/microbatch", flush=True)
+        # fwd/bwd split per micro-batch (the full step adds accumulation
+        # + optimizer on top).
+        mb_batch = {"tokens": batch["tokens"][0] if acc > 1 else batch["tokens"]}
+        parts = fwd_bwd_breakdown(loss_fn, state, mb_batch, rng, args)
 
     multi = make_multi_step(step_fn, args.inner)
     t0 = time.time()

@@ -164,6 +164,67 @@ class SpatialEmbedding(nn.Module):
         return jnp.concatenate([left, upper, right, lower, h, w], axis=-1)
 
 
+def relative_attention_bias(
+    cfg: "LayoutLMv3Config",
+    t1: Optional[jax.Array],   # [rel_pos_bins, H] or None
+    tx: Optional[jax.Array],   # [rel_2d_pos_bins, H] or None
+    ty: Optional[jax.Array],
+    position_ids: jax.Array,   # [B, T] 1D positions (text then visual)
+    full_bbox: jax.Array,      # [B, T, 4] text+visual boxes, 0..1000
+    valid_span: Optional[jax.Array] = None,  # [B, L, L] same-segment mask
+    visual_len: int = 0,       # trailing visual tokens (distance-0 vs text)
+) -> Optional[jax.Array]:
+    """The (rel_pos + rel_2d_pos)/sqrt(d) attention bias, [B, H, T, S]
+    (modeling_layoutlmv3.py:507-577,318-321), shared by every layer.
+
+    Standalone (not a module method) so benchmarks/diagnostics can time the
+    bias computation in isolation with the same tables the model learned.
+    """
+    bias = None
+    if t1 is not None:
+        rel = position_ids[:, None, :] - position_ids[:, :, None]  # [B, T, T]
+        if valid_span is not None:
+            V = visual_len
+            T = position_ids.shape[1]
+            big = position_ids.shape[1]
+            tt = rel[:, : T - V, : T - V]
+            tt = jnp.where((tt > 0) & (~valid_span), big, tt)
+            tt = jnp.where((tt < 0) & (~valid_span), -big, tt)
+            rel = rel.at[:, : T - V, : T - V].set(tt)
+            if V:
+                rel = rel.at[:, T - V :, : T - V].set(0)
+                rel = rel.at[:, : T - V, T - V :].set(0)
+        # rel[i, j] = pos[j] - pos[i] (memory - context), same convention
+        # as relative_position_bucket's input
+        buckets = relative_position_bucket(
+            rel, True, cfg.rel_pos_bins, cfg.max_rel_pos
+        )
+        bias = _bucket_take(t1, buckets, cfg.rel_pos_bins,
+                            dtype=cfg.dtype)  # [B,H,T,S]
+    if tx is not None:
+        cx = full_bbox[..., 0]
+        cy = full_bbox[..., 3]
+        bx = relative_position_bucket(
+            cx[:, None, :] - cx[:, :, None], True, cfg.rel_2d_pos_bins, cfg.max_rel_2d_pos
+        )
+        by = relative_position_bucket(
+            cy[:, None, :] - cy[:, :, None], True, cfg.rel_2d_pos_bins, cfg.max_rel_2d_pos
+        )
+        b2d = (
+            _bucket_take(tx, bx, cfg.rel_2d_pos_bins, dtype=cfg.dtype)
+            + _bucket_take(ty, by, cfg.rel_2d_pos_bins, dtype=cfg.dtype)
+        )  # [B,H,T,S]
+        bias = b2d if bias is None else bias + b2d
+    if bias is not None:
+        # reference adds (rel_pos + rel_2d_pos)/sqrt(d) (modeling:318-321).
+        # Keep the [B,H,T,S] table at the compute dtype: in bf16 training
+        # the f32 version is the single largest HBM allocation (1.17 GB at
+        # B=48) and the attention math downstream is bf16 anyway.
+        bias = (bias / float(cfg.hidden_size // cfg.num_heads) ** 0.5
+                ).astype(cfg.dtype)
+    return bias
+
+
 class LayoutLMv3Model(nn.Module):
     cfg: LayoutLMv3Config
 
@@ -246,48 +307,12 @@ class LayoutLMv3Model(nn.Module):
 
         # ---- relative attention bias (computed once, shared by layers) ---------
         t1, tx, ty = self.bias_tables()
-        bias = None
-        if t1 is not None:
-            rel = position_ids[:, None, :] - position_ids[:, :, None]  # [B, T, T]
-            if valid_span is not None:
-                V = cfg.visual_len if (cfg.visual_embed and images is not None) else 0
-                T = position_ids.shape[1]
-                big = position_ids.shape[1]
-                tt = rel[:, : T - V, : T - V]
-                tt = jnp.where((tt > 0) & (~valid_span), big, tt)
-                tt = jnp.where((tt < 0) & (~valid_span), -big, tt)
-                rel = rel.at[:, : T - V, : T - V].set(tt)
-                if V:
-                    rel = rel.at[:, T - V :, : T - V].set(0)
-                    rel = rel.at[:, : T - V, T - V :].set(0)
-            # rel[i, j] = pos[j] - pos[i] (memory - context), same convention
-            # as relative_position_bucket's input
-            buckets = relative_position_bucket(
-                rel, True, cfg.rel_pos_bins, cfg.max_rel_pos
-            )
-            bias = _bucket_take(t1, buckets, cfg.rel_pos_bins,
-                                dtype=cfg.dtype)  # [B,H,T,S]
-        if tx is not None:
-            cx = full_bbox[..., 0]
-            cy = full_bbox[..., 3]
-            bx = relative_position_bucket(
-                cx[:, None, :] - cx[:, :, None], True, cfg.rel_2d_pos_bins, cfg.max_rel_2d_pos
-            )
-            by = relative_position_bucket(
-                cy[:, None, :] - cy[:, :, None], True, cfg.rel_2d_pos_bins, cfg.max_rel_2d_pos
-            )
-            b2d = (
-                _bucket_take(tx, bx, cfg.rel_2d_pos_bins, dtype=cfg.dtype)
-                + _bucket_take(ty, by, cfg.rel_2d_pos_bins, dtype=cfg.dtype)
-            )  # [B,H,T,S]
-            bias = b2d if bias is None else bias + b2d
-        if bias is not None:
-            # reference adds (rel_pos + rel_2d_pos)/sqrt(d) (modeling:318-321).
-            # Keep the [B,H,T,S] table at the compute dtype: in bf16 training
-            # the f32 version is the single largest HBM allocation (1.17 GB at
-            # B=48) and the attention math downstream is bf16 anyway.
-            bias = (bias / float(cfg.hidden_size // cfg.num_heads) ** 0.5
-                    ).astype(cfg.dtype)
+        bias = relative_attention_bias(
+            cfg, t1, tx, ty, position_ids, full_bbox,
+            valid_span=valid_span,
+            visual_len=(cfg.visual_len
+                        if (cfg.visual_embed and images is not None) else 0),
+        )
 
         return Encoder(tcfg, name="encoder")(
             x,

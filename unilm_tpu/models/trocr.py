@@ -118,6 +118,7 @@ class TrOCRDecoder(nn.Module):
         mode: str = "train",
         cache_size: int = 0,
         deterministic: bool = True,
+        return_features: bool = False,
     ) -> jax.Array:
         cfg = self.cfg
         tcfg = cfg.decoder_cfg()
@@ -159,6 +160,10 @@ class TrOCRDecoder(nn.Module):
             cache_size=cache_size,
             deterministic=deterministic,
         )
+        if return_features:
+            # pre-logit decoder output for chunked-vocab CE (ops/fused_ce.py):
+            # the [B, T, 50k] logits tensor never materializes in training.
+            return x
         if cfg.share_input_output_embed:
             logits = embed.attend(x)
         else:
@@ -196,9 +201,11 @@ class TrOCRModel(nn.Module):
             tokens, encoder_out, mode="decode", cache_size=cache_size
         )
 
-    def __call__(self, images, prev_tokens, deterministic: bool = True):
+    def __call__(self, images, prev_tokens, deterministic: bool = True,
+                 return_features: bool = False):
         enc = self.encode(images, deterministic)
-        return self.text_decoder(prev_tokens, enc, deterministic=deterministic)
+        return self.text_decoder(prev_tokens, enc, deterministic=deterministic,
+                                 return_features=return_features)
 
 
 def make_generate_fns(model: TrOCRModel, cache_size: int):
