@@ -501,6 +501,33 @@ def bench_layoutlmv3(args):
     state = jax.jit(lambda p: TrainState.create(p, tx), donate_argnums=(0,))(params)
     batch = {"ids": ids, "bbox": bbox, "imgs": imgs, "y": labels}
     rng = jax.random.PRNGKey(2)
+    parts = None
+    if args.breakdown:
+        # "bias" phase: the [B, H, 709, 709] 1D+2D bucketed relative bias
+        # alone (models/layoutlmv3.relative_attention_bias), so its share of
+        # the step is measurable against the fwd/bwd phases it feeds.
+        from unilm_tpu.models.layoutlmv3 import (relative_attention_bias,
+                                                 visual_bbox_grid)
+
+        def bias_only(st, b, r):
+            mp = st.params["layoutlmv3"]
+            Bb, Tt = b["ids"].shape
+            pos1d = jnp.broadcast_to(jnp.arange(Tt)[None], (Bb, Tt))
+            vpos = jnp.broadcast_to(jnp.arange(cfg.visual_len)[None],
+                                    (Bb, cfg.visual_len))
+            vb = jnp.asarray(visual_bbox_grid(cfg.visual_grid))
+            full_bbox = jnp.concatenate(
+                [b["bbox"], jnp.broadcast_to(vb[None], (Bb,) + vb.shape)], 1)
+            bias = relative_attention_bias(
+                cfg, mp["rel_pos_bias"], mp["rel_pos_x_bias"],
+                mp["rel_pos_y_bias"],
+                jnp.concatenate([pos1d, vpos], axis=1), full_bbox,
+                visual_len=cfg.visual_len)
+            probe = jnp.sum(bias[..., :1, :1].astype(jnp.float32))
+            return st, {"loss": 0.0 * probe}
+
+        parts = fwd_bwd_breakdown(loss_fn, state, batch, rng, args,
+                                  extra=[("bias", bias_only)])
     multi = make_multi_step(step_fn, args.inner)
     t0 = time.time()
     med, times, loss = time_multi(multi, state, batch, rng, args.inner, args.steps)
@@ -510,6 +537,7 @@ def bench_layoutlmv3(args):
     peak = detect_peak()
     return {
         "workload": "layoutlmv3_funsd", "batch": B, "seq": S,
+        **({"breakdown_ms": parts} if parts else {}),
         "step_ms": round(med * 1e3, 1),
         "docs_per_s": round(B / med),
         "model_tflops_per_s": round(flops / med / 1e12, 1),
@@ -546,17 +574,38 @@ def bench_trocr(args):
 
     tx = optax.adamw(2e-5, weight_decay=0.01)
 
-    def loss_fn(p, batch, rng):
-        logits = model.apply({"params": p}, batch["imgs"], batch["tok"][:, :-1],
-                             deterministic=True)
-        loss, denom = cross_entropy_loss(logits, batch["tok"][:, 1:],
-                                         label_smoothing=0.1)
-        return loss / denom, {}
+    if args.fused_ce:
+        # Chunked-vocab CE from pre-logit features: the [B, T, 50k] logits
+        # tensor (and its gradient) never materializes; the vocab matmul is
+        # fused into the loss chunk-by-chunk (ops/fused_ce.py). trocr-base
+        # does not tie embeddings, so the output_projection kernel [E, V]
+        # is the (transposed) "embedding" the chunked kernel contracts with.
+        from unilm_tpu.ops.fused_ce import chunked_cross_entropy
+
+        def loss_fn(p, batch, rng):
+            feats = model.apply({"params": p}, batch["imgs"],
+                                batch["tok"][:, :-1], deterministic=True,
+                                return_features=True)
+            w = p["text_decoder"]["output_projection"]["kernel"]  # [E, V]
+            loss, denom = chunked_cross_entropy(
+                feats, w.T, batch["tok"][:, 1:],
+                chunk=args.ce_chunk, label_smoothing=0.1)
+            return loss / denom, {}
+    else:
+        def loss_fn(p, batch, rng):
+            logits = model.apply({"params": p}, batch["imgs"],
+                                 batch["tok"][:, :-1], deterministic=True)
+            loss, denom = cross_entropy_loss(logits, batch["tok"][:, 1:],
+                                             label_smoothing=0.1)
+            return loss / denom, {}
 
     step_fn = make_train_step(loss_fn, tx, clip_grad_norm=1.0)
     state = jax.jit(lambda p: TrainState.create(p, tx), donate_argnums=(0,))(params)
     batch = {"imgs": imgs, "tok": tok}
     rng = jax.random.PRNGKey(2)
+    parts = None
+    if args.breakdown:
+        parts = fwd_bwd_breakdown(loss_fn, state, batch, rng, args)
     multi = make_multi_step(step_fn, args.inner)
     t0 = time.time()
     med, times, loss = time_multi(multi, state, batch, rng, args.inner, args.steps)
@@ -571,7 +620,8 @@ def bench_trocr(args):
     peak = detect_peak()
     return {
         "workload": "trocr_base_train", "batch": B,
-        "enc_patches": P, "dec_seq": T,
+        "enc_patches": P, "dec_seq": T, "fused_ce": args.fused_ce,
+        **({"breakdown_ms": parts} if parts else {}),
         "step_ms": round(med * 1e3, 1),
         "lines_per_s": round(B / med),
         "model_tflops_per_s": round(flops / med / 1e12, 1),

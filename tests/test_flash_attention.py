@@ -129,6 +129,7 @@ def test_grad_matches_reference():
         (True, 64, False, False),
         (False, 0, True, False),
         (True, 0, False, True),   # full [B,H,T,S] bias -> Pallas dbias
+        (False, 0, True, True),   # bias + key padding (LayoutLMv3 route)
     ],
 )
 def test_grad_pallas_backward(causal, window, with_mask, with_bias):

@@ -122,3 +122,32 @@ def test_beam_decode_with_real_cache():
     s = np.asarray(scores)
     assert np.isfinite(s[:, 0]).all()
     assert (np.diff(s, axis=1) <= 1e-5).all()  # sorted best-first
+
+
+def test_chunked_ce_matches_dense_loss():
+    """The trocr train workload's --fused_ce path (benchmarks/train_mfu.py):
+    chunked-vocab CE from return_features + output_projection.T must equal
+    the dense logits CE (label smoothing 0.1) — trocr-base does not tie
+    embeddings, so the kernel contracts with the transposed projection."""
+    from unilm_tpu.ops.fused_ce import chunked_cross_entropy
+    from unilm_tpu.runtime.train import cross_entropy_loss
+
+    hf, cfg = build_pair()
+    params = convert_trocr(hf.state_dict(), cfg)
+    model = TrOCRModel(cfg)
+    rng = np.random.RandomState(3)
+    pix = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
+    tok = jnp.asarray(rng.randint(3, 100, (2, 10)), jnp.int32)
+
+    logits = model.apply({"params": params}, pix, tok[:, :-1])
+    l_dense, n_dense = cross_entropy_loss(logits, tok[:, 1:],
+                                          label_smoothing=0.1)
+
+    feats = model.apply({"params": params}, pix, tok[:, :-1],
+                        return_features=True)
+    w = params["text_decoder"]["output_projection"]["kernel"]  # [E, V]
+    l_ck, n_ck = chunked_cross_entropy(feats, w.T, tok[:, 1:], chunk=32,
+                                       label_smoothing=0.1)
+    assert float(n_dense) == float(n_ck)
+    np.testing.assert_allclose(float(l_dense / n_dense), float(l_ck / n_ck),
+                               rtol=2e-5)

@@ -124,7 +124,20 @@ def attention(
                 not fa_on_tpu(),
             )
 
-        profitable = S >= 1024 or (window and window > 0)
+        # A full per-example bias ([B,H,T,S], LayoutLMv3's 1D+2D bucket
+        # bias) moves the crossover far left: the dense fallback reads the
+        # bias AND materializes [B,H,T,S] logits + fp32 probs (3 full-plane
+        # round-trips/layer-pass), while the blocked kernel streams the bias
+        # once and keeps scores in VMEM. One-pass can't take these shapes
+        # (the resident [H,Tp,Sp] bias plane exceeds its VMEM budget), so
+        # without this the hot DocAI shape (S=709) ran dense XLA.
+        per_example_bias = (
+            bias is not None and bias.shape[0] == B > 1 and bias.shape[1] == H
+        )
+        profitable = (
+            S >= 1024 or (window and window > 0)
+            or (per_example_bias and S >= 512)
+        )
 
         if profitable and fa.is_available() and fa.supports(q, k, bias, window):
             return fa.flash_attention(
