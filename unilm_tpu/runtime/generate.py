@@ -52,6 +52,11 @@ class GenerationConfig:
     # diverse beam (Vijayakumar et al. 2016; fairseq search.DiverseBeamSearch)
     num_groups: int = 1
     diversity_strength: float = 0.5
+    # diverse siblings (Li & Jurafsky 2016; fairseq search.DiverseSiblingsSearch
+    # :745-814): rank-penalize each beam's k-th best continuation by
+    # rate * k before the cross-beam top-k; the penalty persists in the
+    # cumulative score, exactly like fairseq's scores_buf. 0 = plain beam.
+    diversity_rate: float = 0.0
 
 
 def _gather_beams(tree: Any, idx: jax.Array, batch: int, old_k: int) -> Any:
@@ -105,6 +110,37 @@ def _adjust_logprobs(logprobs, tokens, gen_len, cur_len, cfg: GenerationConfig):
         banned = _ngram_ban_mask(tokens, cur_len, cfg.no_repeat_ngram_size, V)
         logprobs = jnp.where(banned, NEG_INF, logprobs)
     return logprobs
+
+
+def _apply_len_constraints(lp, gen, min_lens, max_lens, eos):
+    """Per-sentence length bounds (fairseq search.LengthConstrainedBeamSearch
+    :526-548): while gen < min_lens[b] the eos is banned; once
+    gen >= max_lens[b] the eos is FORCED — its logprob set to 0 and every
+    other token banned. fairseq's search-class forcing sets only eos=0,
+    which lets a higher-scoring beam leak an overlong non-eos continuation
+    through the cross-beam top-2K; its SequenceGenerator closes the same
+    hole for the global max by banning non-eos outright
+    (sequence_generator.py:343-349), so we apply that hard semantics
+    per-sentence: max_lens is a guarantee, not a preference.
+    lp [N, V]; gen = tokens generated so far; min_lens/max_lens [N] or None.
+    """
+    eos_lp = lp[:, eos]
+    if min_lens is not None:
+        eos_lp = jnp.where(gen < min_lens, NEG_INF, eos_lp)
+    if max_lens is not None:
+        force = gen >= max_lens
+        lp = jnp.where(force[:, None], NEG_INF, lp)
+        eos_lp = jnp.where(force, 0.0, eos_lp)
+    return lp.at[:, eos].set(eos_lp)
+
+
+def length_constraints(src_lengths, min_len_a, min_len_b, max_len_a, max_len_b):
+    """fairseq's per-sentence bounds from source lengths (trocr/task.py:65-72,
+    search.py:544-545): min/max generated length = a * src_len + b."""
+    sl = src_lengths.astype(jnp.float32)
+    min_lens = (min_len_a * sl + min_len_b).astype(jnp.int32)
+    max_lens = (max_len_a * sl + max_len_b).astype(jnp.int32)
+    return min_lens, max_lens
 
 
 # --------------------------------------------------------------------------- #
@@ -188,14 +224,21 @@ def beam_generate(
     params: Any,
     prompt: jax.Array,  # [B, P]
     aux: Any = None,
+    min_lens: Optional[jax.Array] = None,  # [B] per-sentence min gen length
+    max_lens: Optional[jax.Array] = None,  # [B] per-sentence max gen length
 ):
     """Beam search. Returns (tokens [B, K, total], scores [B, K]) sorted
-    best-first; scores are length-penalized like fairseq (cum/len^lenpen)."""
+    best-first; scores are length-penalized like fairseq (cum/len^lenpen).
+
+    cfg.diversity_rate > 0 switches candidate selection to fairseq's
+    DiverseSiblingsSearch (search.py:745-814); min_lens/max_lens apply the
+    per-sentence LengthConstrainedBeamSearch bounds (search.py:526-548)."""
     B, P = prompt.shape
     K = cfg.beam_size
     total = P + cfg.max_new_tokens
     V = cfg.vocab_size
     assert V > 0, "GenerationConfig.vocab_size required for beam search"
+    sib_rate = cfg.diversity_rate
 
     # ---- prefill on the un-tiled batch, then tile to beams -------------------
     logits, cache = prefill(params, prompt, aux)
@@ -203,6 +246,7 @@ def beam_generate(
     tokens_flat = jnp.full((B, total), cfg.pad, jnp.int32)
     tokens_flat = jax.lax.dynamic_update_slice(tokens_flat, prompt.astype(jnp.int32), (0, 0))
     lp0 = _adjust_logprobs(lp0, tokens_flat, jnp.asarray(0), jnp.asarray(P), cfg)
+    lp0 = _apply_len_constraints(lp0, jnp.asarray(0), min_lens, max_lens, cfg.eos)
 
     k0 = min(K, V)
     first_scores, first_tokens = jax.lax.top_k(lp0, k0)  # [B, k0]
@@ -254,13 +298,28 @@ def beam_generate(
         logits, new_cache = step(params, last, cache, aux_t)
         lp = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32) / cfg.temperature)
         lp = _adjust_logprobs(lp, flat_tokens, i - P, i, cfg)
+        if min_lens is not None or max_lens is not None:
+            rep = lambda x: None if x is None else jnp.repeat(x, K, axis=0)
+            lp = _apply_len_constraints(
+                lp, i - P, rep(min_lens), rep(max_lens), cfg.eos)
         lp = lp.reshape(B, K, V)
 
         cand = alive_scores[:, :, None] + lp  # [B, K, V]
-        cand_flat = cand.reshape(B, K * V)
-        top_scores, top_idx = jax.lax.top_k(cand_flat, 2 * K)  # [B, 2K]
-        beam_idx = top_idx // V
-        tok_idx = top_idx % V
+        if sib_rate > 0.0:
+            # DiverseSiblingsSearch (search.py:790-814): per-beam top-k2,
+            # k-th sibling penalized by rate * k; the cross-beam top-2K runs
+            # on (and returns) the penalized scores.
+            k2 = min(2 * K, V - 1)
+            vals, toks = jax.lax.top_k(cand, k2)  # [B, K, k2]
+            vals = vals - sib_rate * jnp.arange(1, k2 + 1, dtype=jnp.float32)
+            top_scores, pos = jax.lax.top_k(vals.reshape(B, K * k2), 2 * K)
+            beam_idx = pos // k2
+            tok_idx = jnp.take_along_axis(toks.reshape(B, K * k2), pos, axis=1)
+        else:
+            cand_flat = cand.reshape(B, K * V)
+            top_scores, top_idx = jax.lax.top_k(cand_flat, 2 * K)  # [B, 2K]
+            beam_idx = top_idx // V
+            tok_idx = top_idx % V
 
         # candidate token rows
         cand_tokens = jnp.take_along_axis(
@@ -327,14 +386,58 @@ def generate(
     prompt: jax.Array,
     aux: Any = None,
     rng: Optional[jax.Array] = None,
+    min_lens: Optional[jax.Array] = None,
+    max_lens: Optional[jax.Array] = None,
 ):
-    """Dispatch: the fairseq search switchboard (trocr/task.py:191-250).
-    num_groups>1 -> diverse beam; beam_size>1 -> beam; else greedy/sampling."""
+    """Dispatch: the fairseq search switchboard (trocr/task.py:165-277).
+    num_groups>1 -> diverse beam; diversity_rate>0 -> diverse siblings;
+    beam_size>1 -> beam (optionally length-constrained per sentence);
+    else greedy/sampling."""
     if cfg.num_groups > 1 and not cfg.sampling:
         return diverse_beam_generate(cfg, prefill, step, params, prompt, aux)
-    if cfg.beam_size > 1 and not cfg.sampling:
-        return beam_generate(cfg, prefill, step, params, prompt, aux)
+    if (cfg.beam_size > 1 or cfg.diversity_rate > 0) and not cfg.sampling:
+        return beam_generate(cfg, prefill, step, params, prompt, aux,
+                             min_lens=min_lens, max_lens=max_lens)
     return greedy_generate(cfg, prefill, step, params, prompt, aux, rng)
+
+
+def make_ensemble(model_fns, temperature: float = 1.0):
+    """Multi-checkpoint ensemble scoring (fairseq EnsembleModel,
+    sequence_generator.py:811-938): each step averages the models'
+    PROBABILITIES — avg = logsumexp(stack(log_softmax(logits_m / T))) -
+    log(M) — and the combined cache is the tuple of per-model caches (beam
+    reorder gathers map over the tuple pytree).
+
+    model_fns: list of (prefill, step) pairs. The returned pair has the
+    standard engine signature with `params` (and `aux`, unless None) being
+    an M-tuple of the per-model values. The combined "logits" are
+    avg_logprobs * T, so the engine's own log_softmax(x / T) is the
+    identity on them and scores stay exact.
+    """
+    M = len(model_fns)
+
+    def split_aux(aux):
+        return (None,) * M if aux is None else tuple(aux)
+
+    def combine(logits_list):
+        lps = jnp.stack(
+            [jax.nn.log_softmax(l.astype(jnp.float32) / temperature)
+             for l in logits_list], axis=0)
+        avg = jax.nn.logsumexp(lps, axis=0) - jnp.log(float(M))
+        return avg * temperature
+
+    def prefill(params, tokens, aux):
+        outs = [pf(p, tokens, a)
+                for (pf, _), p, a in zip(model_fns, params, split_aux(aux))]
+        return combine([o[0] for o in outs]), tuple(o[1] for o in outs)
+
+    def step(params, token, cache, aux):
+        outs = [st(p, token, c, a)
+                for (_, st), p, c, a in zip(model_fns, params, cache,
+                                            split_aux(aux))]
+        return combine([o[0] for o in outs]), tuple(o[1] for o in outs)
+
+    return prefill, step
 
 
 # --------------------------------------------------------------------------- #
