@@ -3,6 +3,9 @@
 Replaces fairseq's distributed_init + process-group registry
 (fairseq/distributed/utils.py:244-494). One mesh, four axes:
 
+- stage:  pipeline-parallel axis (GPipe stages, parallel/pipeline.py — the
+          --pipeline-model-parallel equivalent); outermost so multi-slice
+          DCN carries only the once-per-tick activation hop
 - data:   pure data parallel (DDP equivalent, grads all-reduced by GSPMD)
 - fsdp:   parameter/optimizer sharding axis (FSDP/ZeRO equivalent)
 - tensor: tensor-parallel axis (Megatron column/row splits)
@@ -19,7 +22,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
-MESH_AXES = ("data", "fsdp", "tensor", "expert")
+MESH_AXES = ("stage", "data", "fsdp", "tensor", "expert")
 
 
 def make_mesh(

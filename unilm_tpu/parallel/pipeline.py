@@ -20,10 +20,13 @@ Use under shard_map:
 
 from __future__ import annotations
 
-from typing import Any, Callable
+import functools
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
 
 
 def _pvary(x, axis_name):
@@ -40,9 +43,23 @@ def pipeline_apply(
     microbatches: jax.Array,  # [M, mb, ...] (replicated input)
     *,
     axis_name: str,
+    remat: bool = False,
 ) -> jax.Array:
     """Runs stage_fn at every pipeline stage; returns [M, mb, ...] outputs
-    (replicated — the last stage's results are psum-broadcast)."""
+    (replicated — the last stage's results are psum-broadcast).
+
+    DIFFERENTIABLE: jax autodiffs through the scan-of-ppermute, giving the
+    GPipe backward schedule for free — the reverse scan re-runs the ticks
+    backwards, the ppermute transposes to the inverse ring hop (cotangents
+    flow last-stage -> first), and the bubble-tick `where` masks transpose
+    to zeros, so garbage ticks contribute nothing to any gradient. This is
+    what fairseq's --pipeline-model-parallel exists for: *training*
+    (fairseq/distributed/utils.py:153-243). `remat=True` rematerializes each
+    stage_fn call in the backward (GPipe's per-microbatch checkpointing,
+    torch.utils.checkpoint in torch Pipe).
+    """
+    if remat:
+        stage_fn = jax.checkpoint(stage_fn)
     S = jax.lax.psum(1, axis_name)
     s = jax.lax.axis_index(axis_name)
     M = microbatches.shape[0]
@@ -77,6 +94,116 @@ def pipeline_apply(
     # broadcast the last stage's outputs to everyone
     mask = (s == S - 1).astype(outputs.dtype)
     return jax.lax.psum(outputs * mask, axis_name)
+
+
+class PipelineLM:
+    """A trainable decoder-only LM whose layer stack runs pipeline-parallel.
+
+    The TPU-native equivalent of fairseq's --pipeline-model-parallel
+    training path (fairseq/distributed/utils.py:153-243: balance/devices
+    partitioning + torch Pipe): layers are stacked [S, L/S, ...] and driven
+    by `pipeline_apply` under shard_map over a 'stage' mesh axis; embedding,
+    final LN, and the (tied) output projection run outside the pipeline in
+    plain GSPMD. The whole thing is an ordinary differentiable loss_fn, so
+    it plugs straight into runtime.train.make_train_step.
+
+    v1 scope: uniform non-MoE DecoderLayers (cfg.moe_freq == 0); stage
+    params are sharded on 'stage' only (compose TP/FSDP via the main mesh
+    path, not inside the pipeline).
+    """
+
+    def __init__(self, cfg, num_stages: int, mesh: Mesh,
+                 num_microbatches: int, axis_name: str = "stage",
+                 remat: bool = False):
+        from unilm_tpu.core.transformer import DecoderLayer
+
+        assert cfg.num_layers % num_stages == 0
+        assert getattr(cfg, "moe_freq", 0) == 0, "PP v1: dense layers only"
+        self.cfg = cfg
+        self.S = num_stages
+        self.M = num_microbatches
+        self.mesh = mesh
+        self.axis_name = axis_name
+        self.remat = remat
+        self.layer = DecoderLayer(cfg, layer_idx=0)
+
+    def init(self, rng: jax.Array) -> Any:
+        cfg = self.cfg
+        kE, kL = jax.random.split(rng)
+        x0 = jnp.zeros((1, 8, cfg.embed_dim), cfg.dtype)
+        per_layer = jax.vmap(lambda k: self.layer.init(k, x0)["params"])(
+            jax.random.split(kL, cfg.num_layers)
+        )
+        stages = jax.tree.map(
+            lambda a: a.reshape((self.S, cfg.num_layers // self.S) + a.shape[1:]),
+            per_layer,
+        )
+        embed = (jax.random.normal(kE, (cfg.vocab_size, cfg.embed_dim))
+                 * cfg.embed_dim**-0.5).astype(cfg.dtype)
+        return {
+            "embed_tokens": {"embedding": embed},
+            "stages": stages,
+            "ln_f": {"scale": jnp.ones(cfg.embed_dim),
+                     "bias": jnp.zeros(cfg.embed_dim)},
+        }
+
+    def _stage_fn(self, sp, x):
+        def body(h, lp):
+            return self.layer.apply({"params": lp}, h, causal=True), None
+
+        out, _ = jax.lax.scan(body, x, sp)
+        return out
+
+    def _ln_f(self, params, x):
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(-1, keepdims=True)
+        var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+        y = (xf - mu) * jax.lax.rsqrt(var + 1e-5)
+        return (y * params["scale"] + params["bias"]).astype(x.dtype)
+
+    def apply_layers(self, stages: Any, h: jax.Array) -> jax.Array:
+        """[M, mb, T, D] microbatched hidden states -> same, pipelined."""
+        piped = shard_map(
+            lambda sp, xx: pipeline_apply(
+                self._stage_fn, jax.tree.map(lambda l: l[0], sp), xx,
+                axis_name=self.axis_name, remat=self.remat),
+            mesh=self.mesh,
+            in_specs=(P(self.axis_name), P(None)),
+            out_specs=P(None),
+        )
+        return piped(stages, h)
+
+    def logits(self, params: Any, tokens: jax.Array) -> jax.Array:
+        cfg = self.cfg
+        B, T = tokens.shape
+        M = self.M
+        assert B % M == 0, f"batch {B} not divisible into {M} microbatches"
+        emb = params["embed_tokens"]["embedding"]
+        h = emb[tokens] * cfg.embed_dim**0.5
+        h = h.reshape(M, B // M, T, cfg.embed_dim)
+        h = self.apply_layers(params["stages"], h)
+        h = h.reshape(B, T, cfg.embed_dim)
+        h = self._ln_f(params["ln_f"], h)
+        return jax.lax.dot_general(
+            h, emb, (((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def sequential_logits(self, params: Any, tokens: jax.Array) -> jax.Array:
+        """Same math without the pipeline — the parity oracle."""
+        cfg = self.cfg
+        emb = params["embed_tokens"]["embedding"]
+        h = emb[tokens] * cfg.embed_dim**0.5
+        flat = jax.tree.map(
+            lambda a: a.reshape((cfg.num_layers,) + a.shape[2:]),
+            params["stages"],
+        )
+        h = self._stage_fn(flat, h)
+        h = self._ln_f(params["ln_f"], h)
+        return jax.lax.dot_general(
+            h, emb, (((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
 
 def stack_stage_params(params_per_layer: list, num_stages: int) -> Any:

@@ -41,6 +41,19 @@ def _rule(path: Tuple[str, ...], shape: Tuple[int, ...], mesh: Mesh) -> P:
         """Use `axis` on `dim` only if divisible."""
         return axis if shape[dim] % _axis_size(mesh, axis) == 0 else None
 
+    # pipeline-stacked params ([S, L/S, ...] from parallel/pipeline.py):
+    # leading dim on 'stage', largest remaining dim on fsdp (ZeRO-in-PP)
+    if any(n == "stages" for n in names) and len(shape) >= 2:
+        spec = [None] * len(shape)
+        if _axis_size(mesh, "stage") > 1 and shape[0] % _axis_size(mesh, "stage") == 0:
+            spec[0] = "stage"
+        if fsdp and len(shape) > 2:
+            for dim in sorted(range(2, len(shape)), key=lambda d: -shape[d]):
+                if shape[dim] % _axis_size(mesh, "fsdp") == 0 and shape[dim] > 1:
+                    spec[dim] = "fsdp"
+                    break
+        return P(*spec)
+
     # expert params carry a leading expert dim
     offset = 1 if in_expert else 0
     spec = [None] * len(shape)
