@@ -244,3 +244,52 @@ def test_wandb_logger_noop_without_wandb():
 
     lg = WandbLogger("proj")
     lg.log({"loss": 1.0}, step=0)  # must not raise when wandb is absent
+
+
+def test_checkpoint_async_overlap_and_crash_recovery(tmp_path):
+    """Async save semantics (fairseq --write-checkpoints-asynchronously,
+    checkpoint_utils.py:36,535): save() returns while the array write runs
+    in the background; a simulated mid-save crash (committed extra.json but
+    no committed state/) is skipped by restore in favor of the previous
+    complete step."""
+    import os
+    import shutil
+    import time as _time
+
+    model = TinyModel()
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 8))
+    params = model.init(jax.random.PRNGKey(1), x)["params"]
+    tx = optax.adamw(1e-3)
+    state = TrainState.create(params, tx)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), keep_last=5)
+    mgr.save(1, state, metrics={"loss": 1.0})
+    # "training continues" while the background write may still be running;
+    # the explicit barrier must make step 1 durable
+    y = jnp.sum(model.apply({"params": state.params}, x))
+    mgr.wait()
+    assert mgr._complete(1)
+
+    # simulate a crash mid-save of step 2: extra.json written, array write
+    # never committed (state/ missing — orbax's tmp dir was never renamed)
+    p2 = os.path.join(mgr.dir, "step_2")
+    os.makedirs(p2)
+    with open(os.path.join(p2, "extra.json"), "w") as f:
+        f.write('{"step": 2, "data_state": null, "metrics": {}}')
+    assert mgr.all_steps() == [1]  # incomplete step invisible
+    assert mgr.latest_step() == 1
+
+    abstract = jax.eval_shape(lambda: state)
+    out = mgr.restore(abstract)
+    assert out is not None
+    restored, _, metrics = out
+    assert metrics["loss"] == 1.0
+    for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(state.params)):
+        np.testing.assert_allclose(a, b)
+
+    # next save barriers on the previous one and rotation never touches the
+    # partial (it is not in all_steps)
+    mgr.save(3, state, metrics={"loss": 0.5})
+    mgr.wait()
+    assert mgr.all_steps() == [1, 3]
+    assert float(y) == float(y)  # keep the overlapped compute alive
