@@ -468,9 +468,13 @@ def bench_layoutlmv3(args):
     from unilm_tpu.runtime.train import TrainState, cross_entropy_loss, make_train_step
 
     B, T = args.batch, 512
+    bias_mode = getattr(args, "bias_mode", "fused")
     cfg = layoutlmv3_base(dtype=jnp.bfloat16, num_labels=7,
                           remat=not args.no_remat and B > 32,
-                          remat_policy=args.remat_policy)
+                          remat_policy=args.remat_policy,
+                          fused_bias=bias_mode == "fused",
+                          has_relative_attention_bias=bias_mode != "none",
+                          has_spatial_attention_bias=bias_mode != "none")
     model = LayoutLMv3ForTokenClassification(cfg)
     rng0 = np.random.RandomState(0)
     ids = jnp.asarray(rng0.randint(3, cfg.vocab_size - 1, (B, T)), jnp.int32)
@@ -502,7 +506,9 @@ def bench_layoutlmv3(args):
     batch = {"ids": ids, "bbox": bbox, "imgs": imgs, "y": labels}
     rng = jax.random.PRNGKey(2)
     parts = None
-    if args.breakdown:
+    if args.breakdown and bias_mode == "none":
+        parts = fwd_bwd_breakdown(loss_fn, state, batch, rng, args)
+    elif args.breakdown:
         # "bias" phase: the [B, H, 709, 709] 1D+2D bucketed relative bias
         # alone (models/layoutlmv3.relative_attention_bias), so its share of
         # the step is measurable against the fwd/bwd phases it feeds.
@@ -691,7 +697,7 @@ def bench_moe(args):
         optax.adamw(1e-4, b1=0.9, b2=0.98, weight_decay=0.01)
 
     def loss_fn(p, batch, rng):
-        feats, aux = apply_with_moe_aux(
+        feats, aux, mstats = apply_with_moe_aux(
             model, {"params": p}, batch["tokens"],
             deterministic=False, rngs={"dropout": rng},
             return_features=True)
@@ -700,7 +706,7 @@ def bench_moe(args):
             batch["tokens"][:, 1:],
             mask=jnp.ones_like(batch["tokens"][:, 1:], jnp.float32),
             chunk=args.ce_chunk)
-        return loss / denom + 0.01 * aux, {"ntok": denom}
+        return loss / denom + 0.01 * aux, {"ntok": denom, **mstats}
 
     step_fn = make_train_step(loss_fn, tx, clip_grad_norm=1.0, microbatches=acc)
     state = jax.jit(lambda p: TrainState.create(p, tx), donate_argnums=(0,))(params)
@@ -871,6 +877,10 @@ def main():
     p.add_argument("--param_dtype", default="fp32", choices=["fp32", "bf16"],
                    help="bf16 = fairseq --memory-efficient-fp16 equivalent "
                         "(params+grads half precision, no fp32 master)")
+    p.add_argument("--bias_mode", default="fused",
+                   choices=["fused", "materialized", "none"],
+                   help="layoutlmv3: fused bucket-bias kernel / materialized "
+                        "[B,H,T,S] bias / relative bias disabled (floor)")
     p.add_argument("--moe_experts", type=int, default=8)
     p.add_argument("--moe_breakdown", action="store_true",
                    help="also time one MoE layer's gating/dispatch/expert/"

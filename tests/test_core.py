@@ -187,12 +187,15 @@ class TestMoE:
         dec = Decoder(cfg)
         x = rand(0, B, 16, E)
         params = dec.init(jax.random.PRNGKey(1), x)["params"]
-        out, aux = apply_with_moe_aux(dec, {"params": params}, x)
+        out, aux, stats = apply_with_moe_aux(dec, {"params": params}, x)
         assert out.shape == x.shape
         assert float(aux) > 0  # E*E-scaled density product is positive
+        # gate health surfaced: overflow fraction is a [0, 1] scalar
+        assert "moe_overflow" in stats
+        assert 0.0 <= float(stats["moe_overflow"]) <= 1.0
 
         def loss(p):
-            _, a = apply_with_moe_aux(dec, {"params": p}, x)
+            _, a, _stats = apply_with_moe_aux(dec, {"params": p}, x)
             return a
 
         g = jax.grad(loss)(params)

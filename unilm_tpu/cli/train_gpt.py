@@ -208,11 +208,12 @@ def main(argv=None):
         moe_gate_loss * wt, fairseq moe_cross_entropy equivalent)."""
         if moe:
             return apply_with_moe_aux(model, {"params": p}, *a, **kw)
-        return model.apply({"params": p}, *a, **kw), jnp.zeros((), jnp.float32)
+        return (model.apply({"params": p}, *a, **kw),
+                jnp.zeros((), jnp.float32), {})
 
     if multimodal:
         def loss_fn(p, batch, rng):
-            out, aux = _apply(
+            out, aux, mstats = _apply(
                 p, batch["tokens"], batch["images"][:, 0],
                 batch["img_mask"], batch["segs"],
                 return_features=args.fused_ce,
@@ -220,12 +221,12 @@ def main(argv=None):
             # UniGPTLoss: CE over text positions only (unigpt.py:24-70)
             s, n = _ce(p, out[:, :-1], batch["tokens"][:, 1:],
                        batch["loss_mask"][:, 1:])
-            return s / n + args.moe_gate_loss_wt * aux, {"ntok": n}
+            return s / n + args.moe_gate_loss_wt * aux, {"ntok": n, **mstats}
     else:
         def loss_fn(p, batch, rng):
-            out, aux = _apply(p, batch, return_features=args.fused_ce)
+            out, aux, mstats = _apply(p, batch, return_features=args.fused_ce)
             s, n = _ce(p, out[:, :-1], batch[:, 1:], None)
-            return s / n + args.moe_gate_loss_wt * aux, {"ntok": n}
+            return s / n + args.moe_gate_loss_wt * aux, {"ntok": n, **mstats}
 
     step_fn = jax.jit(make_train_step(
         loss_fn, tx, clip_grad_norm=args.clip_norm,

@@ -72,6 +72,7 @@ def _top2_gating(
             # route to 2nd expert with prob proportional to 2*gate2 (GShard)
             keep_rand = jax.random.uniform(rng, gate2.shape) < (2.0 * gate2)
             mask2 = mask2 * keep_rand[..., None]
+        mask2_attempted = mask2  # before the capacity clip (overflow metric)
         # queue positions continue after expert's top-1 load
         used1 = jnp.sum(mask1, axis=1, keepdims=True)  # [G, 1, E]
         pos2 = (jnp.cumsum(mask2, axis=1) - mask2) + used1
@@ -97,7 +98,21 @@ def _top2_gating(
         combine = combine1 + combine2
 
     dispatch = combine > 0.0
-    return combine, dispatch, aux_loss
+
+    # Operational gate-health metric: fraction of routing assignments
+    # dropped by the capacity clip (the reference exposes this through its
+    # all-to-all stats, torchscale xmoe/moe_layer.py:332-360). A silently
+    # unbalanced gate drops tokens with no trace in the loss — this is the
+    # number an operator watches. Random-policy skips of the 2nd expert are
+    # intentional, so only capacity-clipped attempts count.
+    dropped = jnp.sum(1.0 - keep1.astype(jnp.float32))
+    attempts = jnp.asarray(G * S, jnp.float32)
+    if top2:
+        attempted2 = jnp.sum(mask2_attempted)
+        dropped = dropped + (attempted2 - jnp.sum(mask2))
+        attempts = attempts + attempted2
+    overflow = dropped / jnp.maximum(attempts, 1.0)
+    return combine, dispatch, aux_loss, overflow
 
 
 class MoELayer(nn.Module):
@@ -140,9 +155,12 @@ class MoELayer(nn.Module):
         rng = None
         if not deterministic and cfg.moe_second_expert_policy == "random":
             rng = self.make_rng("dropout")
-        combine, dispatch, aux = _top2_gating(
+        combine, dispatch, aux, overflow = _top2_gating(
             logits, capacity, cfg.moe_top == 2, rng, cfg.moe_second_expert_policy
         )
+        # gate health: capacity-overflow fraction, one scalar per MoE layer
+        # (reads back via mutable=['moe_metrics']; runtime.train surfaces it)
+        self.sow("moe_metrics", "overflow", jax.lax.stop_gradient(overflow))
 
         # --- dispatch -> experts -> combine -------------------------------------
         expert_in = jnp.einsum(

@@ -53,18 +53,29 @@ def cross_entropy_loss(
 
 
 def apply_with_moe_aux(model, variables, *args, **kwargs):
-    """model.apply that also returns the summed MoE load-balance loss.
+    """model.apply that also returns the summed MoE load-balance loss and
+    the gate-health stats.
 
     MoE layers sow their GShard aux loss into the 'losses' collection
     (core/transformer.py sow('losses', 'moe_aux')); a plain apply silently
     drops it (flax sow is a no-op when the collection isn't mutable), which
     would train MoE without the balance term the reference applies via
     moe_gate_loss (torchscale xmoe routing.py l_aux + fairseq
-    --moe-gate-loss-wt). Returns (outputs, aux_loss_sum)."""
-    out, mut = model.apply(variables, *args, mutable=["losses"], **kwargs)
+    --moe-gate-loss-wt). MoE layers also sow their capacity-overflow
+    fraction into 'moe_metrics' (core/moe.py; the reference's all-to-all
+    stats, moe_layer.py:332-360). Returns (outputs, aux_loss_sum, stats)
+    with stats={'moe_overflow': mean dropped-assignment fraction across
+    MoE layers} — put it in the train-step metrics so an unbalanced gate
+    is visible, not silent."""
+    out, mut = model.apply(
+        variables, *args, mutable=["losses", "moe_metrics"], **kwargs)
     leaves = jax.tree.leaves(mut.get("losses", {}))
     aux = sum((jnp.sum(l) for l in leaves), jnp.zeros((), jnp.float32))
-    return out, aux
+    ov = jax.tree.leaves(mut.get("moe_metrics", {}))
+    stats = {}
+    if ov:
+        stats["moe_overflow"] = sum(jnp.sum(o) for o in ov) / len(ov)
+    return out, aux, stats
 
 
 def make_train_step(
