@@ -165,3 +165,71 @@ def test_kosmos2_clip_pipeline():
     assert np.isfinite(np.asarray(logits)).all()
     feats = model.apply({"params": params}, images, method=model.encode_image)
     assert feats.shape == (B, 4, 32)
+
+
+def test_unigpt_audio_tower_pipeline():
+    """Audio tower (wavLM) -> resampler -> splice -> decode: the third
+    pluggable tower slot (unigpt.py:170-187 aud_model/aud_connector;
+    gpt.py:264-265 audio embed scatter)."""
+    from unilm_tpu.models.kosmos import UniGPT, UniGPTConfig
+    from unilm_tpu.models.wavlm import WavLMConfig
+
+    wcfg = WavLMConfig(hidden_size=16, num_layers=1, num_heads=2, ffn_dim=32,
+                       conv_dim=(8, 8), conv_stride=(5, 2), conv_kernel=(10, 3),
+                       num_conv_pos_embeddings=16,
+                       num_conv_pos_embedding_groups=4, num_buckets=32,
+                       max_bucket_distance=100)
+    cfg = UniGPTConfig(
+        vocab_size=60, embed_dim=32, num_layers=2, num_heads=4, ffn_dim=64,
+        max_positions=64, subln=True, xpos_rel_pos=True, use_flash=False,
+        audio_tower="wavlm", audio_latent_query_num=4, wavlm=wcfg,
+    )
+    model = UniGPT(cfg)
+    B, T = 2, 12
+    tokens = jax.random.randint(jax.random.PRNGKey(0), (B, T), 4, 60)
+    aud_mask = jnp.zeros((B, T), bool).at[:, 3:7].set(True)
+    audio = jax.random.normal(jax.random.PRNGKey(2), (B, 400))
+    params = model.init(
+        jax.random.PRNGKey(1), tokens,
+        aud_inputs=audio, aud_gpt_input_mask=aud_mask)["params"]
+    logits = model.apply({"params": params}, tokens,
+                         aud_inputs=audio, aud_gpt_input_mask=aud_mask)
+    assert logits.shape == (B, T, 60)
+    assert np.isfinite(np.asarray(logits)).all()
+    feats = model.apply({"params": params}, audio, method=model.encode_audio)
+    assert feats.shape == (B, 4, 32)
+
+    # splice parity: the masked positions carry EXACTLY the resampled
+    # audio features through the embedding (mirrors the image-splice tests)
+    from unilm_tpu.models.kosmos import splice_image_features
+
+    emb = model.apply({"params": params}, tokens, method=lambda m, t: m.embed_tokens(t))
+    spliced = splice_image_features(emb, feats, aud_mask)
+    np.testing.assert_allclose(
+        np.asarray(spliced[0, 3:7]), np.asarray(feats[0, :4]), rtol=1e-6)
+    # text positions untouched
+    np.testing.assert_allclose(
+        np.asarray(spliced[:, 0]), np.asarray(emb[:, 0]), rtol=1e-6)
+
+    # towers compose: image + audio in one sequence
+    from unilm_tpu.models.kosmos import ClipVisionConfig
+
+    cfg2 = UniGPTConfig(
+        vocab_size=60, embed_dim=32, num_layers=2, num_heads=4, ffn_dim=64,
+        max_positions=64, use_flash=False,
+        image_tower="clip", latent_query_num=2,
+        clip=ClipVisionConfig(img_size=16, patch_size=8, embed_dim=24,
+                              num_layers=1, num_heads=4, ffn_dim=48,
+                              use_flash=False),
+        audio_tower="wavlm", audio_latent_query_num=2, wavlm=wcfg,
+    )
+    m2 = UniGPT(cfg2)
+    img_mask = jnp.zeros((B, T), bool).at[:, 1:3].set(True)
+    amask2 = jnp.zeros((B, T), bool).at[:, 5:7].set(True)
+    images = jax.random.normal(jax.random.PRNGKey(3), (B, 16, 16, 3))
+    p2 = m2.init(jax.random.PRNGKey(4), tokens, images, img_mask,
+                 aud_inputs=audio, aud_gpt_input_mask=amask2)["params"]
+    lg = m2.apply({"params": p2}, tokens, images, img_mask,
+                  aud_inputs=audio, aud_gpt_input_mask=amask2)
+    assert lg.shape == (B, T, 60)
+    assert np.isfinite(np.asarray(lg)).all()

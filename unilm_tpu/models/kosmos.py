@@ -236,6 +236,16 @@ class UniGPTConfig:
     latent_query_num: int = 64
     clip: ClipVisionConfig = ClipVisionConfig()
     pix2struct: Pix2StructVisionConfig = Pix2StructVisionConfig()
+    # audio tower: 'wavlm' | None. The reference's UniGPT is explicitly
+    # "pluggable image/text/AUDIO towers & connectors": aud_model +
+    # aud_connector slots (unigpt.py:170-187,238-239) feed the same embed
+    # splice as images (gpt.py:264-265
+    # `gpt_embed_output[aud_gpt_input_mask] = aud_features`). The released
+    # code leaves get_audio_representation to the speech checkpoints
+    # (HuBERT/wavLM per its docstring); ours plugs models/wavlm.py in.
+    audio_tower: Optional[str] = None
+    audio_latent_query_num: int = 64
+    wavlm: Any = None  # models.wavlm.WavLMConfig (lazy: avoid import cycle)
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32  # bf16 = fairseq --memory-efficient-fp16
     # (kosmos-2 train.sh:33: params+grads in half precision, no fp32 master)
@@ -332,6 +342,22 @@ class UniGPT(nn.Module):
                 dtype=cfg.dtype, use_flash=cfg.use_flash, name="img_connector",
             )
 
+        # audio tower + connector (unigpt.py:170-187 aud_model/aud_connector;
+        # the speech checkpoints plug HuBERT/wavLM — ours is models/wavlm.py)
+        if cfg.audio_tower == "wavlm":
+            from unilm_tpu.models.wavlm import WavLMConfig, WavLMModel
+
+            wcfg = cfg.wavlm if cfg.wavlm is not None else WavLMConfig(
+                dtype=cfg.dtype)
+            self.aud_model = WavLMModel(wcfg, name="aud_model")
+        elif cfg.audio_tower:
+            raise ValueError(f"unknown audio tower {cfg.audio_tower!r}")
+        if cfg.audio_tower:
+            self.aud_connector = LatentQueryResampler(
+                cfg.embed_dim, cfg.audio_latent_query_num, cfg.num_heads,
+                dtype=cfg.dtype, use_flash=cfg.use_flash, name="aud_connector",
+            )
+
     # ------------------------------------------------------------------ #
     def get_image_representation(
         self, img_inputs: jax.Array, deterministic: bool = True
@@ -344,13 +370,27 @@ class UniGPT(nn.Module):
         feats = feats / (jnp.linalg.norm(feats, axis=-1, keepdims=True) + 1e-6)
         return self.img_connector(feats, deterministic)
 
+    def get_audio_representation(
+        self, aud_inputs: jax.Array, deterministic: bool = True
+    ) -> jax.Array:
+        """Audio tower -> L2 normalize -> latent-query resample; the audio
+        analogue of get_image_representation (unigpt.py:311 delegates this
+        to the speech checkpoints; the connector contract is the same)."""
+        feats = self.aud_model(aud_inputs, deterministic)
+        feats = feats / (jnp.linalg.norm(feats, axis=-1, keepdims=True) + 1e-6)
+        return self.aud_connector(feats, deterministic)
+
     def _positions(self, T: int, start) -> jax.Array:
         return start + jnp.arange(T) + self.cfg.padding_idx + 1
 
-    def _embed(self, tokens, img_features, img_mask, segment_tokens, positions):
+    def _embed(self, tokens, img_features, img_mask, segment_tokens, positions,
+               aud_features=None, aud_mask=None):
         cfg = self.cfg
         emb = self.embed_tokens(tokens)
         emb = splice_image_features(emb, img_features, img_mask)
+        # audio splice: same scatter contract as images (gpt.py:264-265
+        # `gpt_embed_output[aud_gpt_input_mask] = aud_features`)
+        emb = splice_image_features(emb, aud_features, aud_mask)
         x = emb * (cfg.embed_dim**0.5 if cfg.scale_embedding else 1.0)
         if cfg.use_positional:
             if cfg.learned_pos:
@@ -385,6 +425,8 @@ class UniGPT(nn.Module):
         segment_tokens: Optional[jax.Array] = None,
         deterministic: bool = True,
         return_features: bool = False,
+        aud_inputs: Optional[jax.Array] = None,  # [B, samples] raw audio
+        aud_gpt_input_mask: Optional[jax.Array] = None,  # [B, T] bool
     ) -> jax.Array:
         """return_features=True yields pre-logit decoder output [B, T, E]
         (for chunked-vocab losses, ops/fused_ce.py, which apply the tied
@@ -394,9 +436,15 @@ class UniGPT(nn.Module):
             if img_inputs is not None
             else None
         )
+        aud_feats = (
+            self.get_audio_representation(aud_inputs, deterministic)
+            if aud_inputs is not None
+            else None
+        )
         x = self._embed(
             src_tokens, img_feats, img_gpt_input_mask, segment_tokens,
             self._positions(src_tokens.shape[1], 0),
+            aud_features=aud_feats, aud_mask=aud_gpt_input_mask,
         )
         pad_mask = src_tokens != self.cfg.padding_idx
         x = self.decoder(
@@ -414,11 +462,14 @@ class UniGPT(nn.Module):
         img_gpt_input_mask: Optional[jax.Array] = None,
         segment_tokens: Optional[jax.Array] = None,
         last_logit_only: bool = False,
+        aud_features: Optional[jax.Array] = None,
+        aud_gpt_input_mask: Optional[jax.Array] = None,
     ) -> jax.Array:
         self.step_counter(jnp.asarray(src_tokens.shape[1], jnp.int32), reset=True)
         x = self._embed(
             src_tokens, img_features, img_gpt_input_mask, segment_tokens,
             self._positions(src_tokens.shape[1], 0),
+            aud_features=aud_features, aud_mask=aud_gpt_input_mask,
         )
         x = self.decoder(
             x, causal=not self.cfg.prefix_lm_prefill, mode="prefill",
@@ -439,6 +490,9 @@ class UniGPT(nn.Module):
 
     def encode_image(self, img_inputs, deterministic: bool = True):
         return self.get_image_representation(img_inputs, deterministic)
+
+    def encode_audio(self, aud_inputs, deterministic: bool = True):
+        return self.get_audio_representation(aud_inputs, deterministic)
 
 
 def make_unigpt_generate_fns(model: UniGPT, cache_size: int):
