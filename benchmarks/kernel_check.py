@@ -263,6 +263,39 @@ def main():
     except Exception as e:
         print(f"SKIP fused rotary: {type(e).__name__}")
 
+    # ---- doc_attention (blocked one-pass encoder, ops/doc_attention.py) --
+    from unilm_tpu.ops.doc_attention import HeadMajorBias, doc_attention
+
+    rng = np.random.RandomState(5)
+    Bd, Td, Hd, Dd = 3, 93, 4, 32
+    qd = jnp.asarray(rng.randn(Bd, Td, Hd, Dd), jnp.bfloat16) * 0.4
+    kd = jnp.asarray(rng.randn(Bd, Td, Hd, Dd), jnp.bfloat16) * 0.4
+    vd = jnp.asarray(rng.randn(Bd, Td, Hd, Dd), jnp.bfloat16)
+    gd = jnp.asarray(rng.randn(Bd, Td, Hd, Dd), jnp.bfloat16)
+    bd = jnp.asarray(rng.randn(Bd, Hd, Td, Td), jnp.bfloat16) * 0.4
+    kpmd = jnp.asarray(rng.rand(Bd, Td) > 0.15).at[:, 0].set(True)
+    scd = Dd**-0.5
+    got = jax.jit(lambda *a: doc_attention(*a, scd, 32, False))(qd, kd, vd, bd, kpmd)
+    want = ref_attn(qd, kd, vd, kpm=kpmd, bias=bd, scale=scd)
+    check("doc fwd bias+kpm", got, want, 5e-3)
+
+    def dl(q, k, v, b):
+        o = doc_attention(q, k, v, b, kpmd, scd, 32, False)
+        return jnp.sum(o.astype(jnp.float32) * gd.astype(jnp.float32))
+
+    def rl(q, k, v, b):
+        o = ref_attn(q, k, v, kpm=kpmd, bias=b, scale=scd)
+        return jnp.sum(o.astype(jnp.float32) * gd.astype(jnp.float32))
+
+    gdoc = jax.jit(jax.grad(dl, argnums=(0, 1, 2, 3)))(qd, kd, vd, bd)
+    gref = jax.jit(jax.grad(rl, argnums=(0, 1, 2, 3)))(qd, kd, vd, bd)
+    for nm, a, b in zip(["dq", "dk", "dv", "dbias"], gdoc, gref):
+        check(f"doc bwd {nm}", a, b, 2e-2)
+
+    hm = HeadMajorBias(hbts=jnp.moveaxis(bd, 1, 0))
+    got = jax.jit(lambda q, k, v, b: doc_attention(q, k, v, b, kpmd, scd, 32, False))(qd, kd, vd, hm)
+    check("doc fwd head-major bias", got, want, 5e-3)
+
     print("=" * 40)
     if FAILED:
         print("FAILED:", FAILED)

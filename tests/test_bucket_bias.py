@@ -1,0 +1,200 @@
+"""Fused bucket-bias attention (ops/bucket_bias.py) vs the dense oracle.
+
+The kernel reconstructs LayoutLMv3-style bucketed relative bias tiles
+in-VMEM from a packed [B, T, S] index plane + [nb, H] tables
+(modeling_layoutlmv3.py:507-577); these tests check forward and gradient
+parity (incl. the table gradients produced by the one-hot contraction of
+the kernel-emitted ds) against materialized-bias XLA attention, in Pallas
+interpret mode on the CPU mesh.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from unilm_tpu.ops.attention import dot_product_attention
+from unilm_tpu.ops.bucket_bias import (
+    BucketBias,
+    bucket_bias_attention,
+    materialize_bias,
+    pack_bucket_planes,
+)
+
+
+def make_case(B=2, T=37, H=4, D=16, nbs=(32, 64, 64), bcast=False, seed=0):
+    rng = np.random.RandomState(seed)
+    q = jnp.asarray(rng.randn(B, T, H, D), jnp.float32) * 0.5
+    k = jnp.asarray(rng.randn(B, T, H, D), jnp.float32) * 0.5
+    v = jnp.asarray(rng.randn(B, T, H, D), jnp.float32)
+    Bp = 1 if bcast else B
+    planes = [
+        jnp.asarray(rng.randint(0, nb, (Bp, T, T)), jnp.int32) for nb in nbs
+    ]
+    tables = tuple(
+        jnp.asarray(rng.randn(nb, H), jnp.float32) * 0.3 for nb in nbs
+    )
+    kpm = jnp.asarray(rng.rand(B, T) > 0.2)
+    kpm = kpm.at[:, 0].set(True)  # never a fully-masked row
+    return q, k, v, planes, tables, kpm
+
+
+def dense_ref(q, k, v, bb, kpm, scale):
+    bias = materialize_bias(bb, jnp.float32)
+    mask = kpm[:, None, None, :]
+    return dot_product_attention(q, k, v, bias=bias, mask=mask, scale=scale)
+
+
+@pytest.mark.parametrize("bcast", [False, True])
+@pytest.mark.parametrize("nbs", [(32, 64, 64), (48,)])
+def test_forward_parity(bcast, nbs):
+    q, k, v, planes, tables, kpm = make_case(nbs=nbs, bcast=bcast)
+    bb = BucketBias(packed=pack_bucket_planes(*planes), tables=tables, scale=0.25)
+    out = bucket_bias_attention(q, k, v, bb, kpm, scale=0.125, interpret=True)
+    ref = dense_ref(q, k, v, bb, kpm, scale=0.125)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+
+def test_forward_parity_multiblock():
+    # T spans several q-blocks (block_q=16 -> Tp=48, 3 blocks + row padding)
+    q, k, v, planes, tables, kpm = make_case(T=41, seed=3)
+    bb = BucketBias(packed=pack_bucket_planes(*planes), tables=tables, scale=0.3)
+    out = bucket_bias_attention(
+        q, k, v, bb, kpm, scale=0.25, interpret=True, block_q=16
+    )
+    ref = dense_ref(q, k, v, bb, kpm, scale=0.25)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("bcast", [False, True])
+def test_grad_parity(bcast):
+    q, k, v, planes, tables, kpm = make_case(T=29, bcast=bcast, seed=1)
+    packed = pack_bucket_planes(*planes)
+    g = jnp.asarray(np.random.RandomState(7).randn(*q.shape), jnp.float32)
+
+    def fused_loss(q, k, v, tables):
+        bb = BucketBias(packed=packed, tables=tables, scale=0.25)
+        out = bucket_bias_attention(
+            q, k, v, bb, kpm, scale=0.125, interpret=True, block_q=16
+        )
+        return jnp.sum(out * g)
+
+    def dense_loss(q, k, v, tables):
+        bb = BucketBias(packed=packed, tables=tables, scale=0.25)
+        return jnp.sum(dense_ref(q, k, v, bb, kpm, scale=0.125) * g)
+
+    gf = jax.grad(fused_loss, argnums=(0, 1, 2, 3))(q, k, v, tables)
+    gd = jax.grad(dense_loss, argnums=(0, 1, 2, 3))(q, k, v, tables)
+    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gd)):
+        np.testing.assert_allclose(a, b, atol=5e-5, rtol=5e-4)
+
+
+@pytest.mark.parametrize("bcast", [False, True])
+def test_collector_grad_parity(bcast):
+    """Table grads via the shared bias_grad_collector (vbias route): two
+    'layers' share the tables; JAX must sum their ds cotangents and the
+    collector's single contraction must equal the dense per-layer grads."""
+    from unilm_tpu.ops.bucket_bias import bias_grad_collector
+
+    q, k, v, planes, tables, kpm = make_case(T=29, bcast=bcast, seed=5)
+    packed = pack_bucket_planes(*planes)
+    B, T, H = q.shape[0], q.shape[1], q.shape[2]
+    g = jnp.asarray(np.random.RandomState(9).randn(*q.shape), jnp.float32)
+
+    def fused_loss(q, k, v, tables):
+        vbias = bias_grad_collector(
+            tables, packed, (B, H, T, T), "float32", 0.25)
+        bb = BucketBias(packed=packed, tables=tables, scale=0.25, vbias=vbias)
+        o1 = bucket_bias_attention(q, k, v, bb, kpm, scale=0.125,
+                                   interpret=True, block_q=16)
+        o2 = bucket_bias_attention(o1, k, v, bb, kpm, scale=0.125,
+                                   interpret=True, block_q=16)
+        return jnp.sum(o2 * g)
+
+    def dense_loss(q, k, v, tables):
+        bb = BucketBias(packed=packed, tables=tables, scale=0.25)
+        o1 = dense_ref(q, k, v, bb, kpm, scale=0.125)
+        o2 = dense_ref(o1, k, v, bb, kpm, scale=0.125)
+        return jnp.sum(o2 * g)
+
+    gf = jax.grad(fused_loss, argnums=(0, 1, 2, 3))(q, k, v, tables)
+    gd = jax.grad(dense_loss, argnums=(0, 1, 2, 3))(q, k, v, tables)
+    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gd)):
+        np.testing.assert_allclose(a, b, atol=5e-5, rtol=5e-4)
+
+
+def test_model_fused_matches_materialized(monkeypatch):
+    """LayoutLMv3 forward+grads identical with fused_bias on (interpret
+    kernel) vs off (materialized relative_attention_bias path)."""
+    monkeypatch.setenv("UNILM_TPU_FLASH_INTERPRET", "1")
+    import dataclasses
+
+    from unilm_tpu.models.layoutlmv3 import (
+        LayoutLMv3ForTokenClassification,
+        LayoutLMv3Config,
+    )
+
+    cfg = LayoutLMv3Config(
+        vocab_size=120, hidden_size=48, num_layers=2, num_heads=4, ffn_dim=96,
+        max_positions=64, coordinate_size=8, shape_size=8, input_size=32,
+        patch_size=16, num_labels=5, visual_embed=True,
+    )
+    rng = np.random.RandomState(0)
+    B, T = 2, 24
+    ids = jnp.asarray(rng.randint(3, 119, (B, T)), jnp.int32)
+    xy = rng.randint(0, 900, (B, T, 2, 2))
+    xy.sort(axis=2)
+    bbox = jnp.asarray(xy.transpose(0, 1, 3, 2).reshape(B, T, 4), jnp.int32)
+    imgs = jnp.asarray(rng.rand(B, 32, 32, 3), jnp.float32)
+    mask = jnp.asarray(rng.rand(B, T) > 0.2)
+    labels = jnp.asarray(rng.randint(0, 5, (B, T)), jnp.int32)
+
+    outs, grads = [], []
+    for fused in (True, False):
+        c = dataclasses.replace(cfg, fused_bias=fused)
+        model = LayoutLMv3ForTokenClassification(c)
+        params = model.init(jax.random.PRNGKey(0), ids, bbox, mask, imgs)["params"]
+
+        def loss(p):
+            lg = model.apply({"params": p}, ids, bbox, mask, imgs)
+            oh = jax.nn.one_hot(labels, 5)
+            return -jnp.mean(jax.nn.log_softmax(lg) * oh), lg
+
+        (l, lg), gr = jax.value_and_grad(loss, has_aux=True)(params)
+        outs.append(lg)
+        grads.append(gr)
+
+    np.testing.assert_allclose(outs[0], outs[1], atol=3e-5, rtol=3e-5)
+    for a, b in zip(jax.tree.leaves(grads[0]), jax.tree.leaves(grads[1])):
+        np.testing.assert_allclose(a, b, atol=1e-4, rtol=2e-3)
+
+
+def test_materialize_matches_relative_attention_bias():
+    """BucketBias materialization == the original relative_attention_bias."""
+    from unilm_tpu.models.layoutlmv3 import (
+        LayoutLMv3Config,
+        relative_attention_bias,
+        relative_bucket_planes,
+    )
+
+    cfg = LayoutLMv3Config(hidden_size=48, num_heads=4)
+    rng = np.random.RandomState(2)
+    B, T, V = 2, 20, 5
+    pos = jnp.broadcast_to(jnp.arange(T)[None], (B, T))
+    xy = rng.randint(0, 900, (B, T, 2, 2))
+    xy.sort(axis=2)
+    bbox = jnp.asarray(xy.transpose(0, 1, 3, 2).reshape(B, T, 4), jnp.int32)
+    seg = jnp.asarray(rng.randint(0, 4, (B, T - V)), jnp.int32)
+    vs = seg[:, :, None] == seg[:, None, :]
+    t1 = jnp.asarray(rng.randn(cfg.rel_pos_bins, 4), jnp.float32)
+    tx = jnp.asarray(rng.randn(cfg.rel_2d_pos_bins, 4), jnp.float32)
+    ty = jnp.asarray(rng.randn(cfg.rel_2d_pos_bins, 4), jnp.float32)
+
+    ref = relative_attention_bias(cfg, t1, tx, ty, pos, bbox,
+                                  valid_span=vs, visual_len=V)
+    planes = relative_bucket_planes(cfg, pos, bbox, valid_span=vs, visual_len=V)
+    bb = BucketBias(packed=pack_bucket_planes(*planes), tables=(t1, tx, ty),
+                    scale=float(cfg.hidden_size // cfg.num_heads) ** -0.5)
+    got = materialize_bias(bb, jnp.float32)
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=2e-5)

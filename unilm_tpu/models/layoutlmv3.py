@@ -58,6 +58,12 @@ class LayoutLMv3Config:
     has_spatial_attention_bias: bool = True
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = True
+    # Pass the relative bias SYMBOLICALLY (packed bucket planes + [nb, H]
+    # tables, ops/bucket_bias.py) so the flash kernel reconstructs each bias
+    # tile in-VMEM instead of streaming a materialized [B, H, T, S] tensor.
+    # Falls back to the materialized form wherever the fused kernel doesn't
+    # apply (non-TPU, dropout, oversized S).
+    fused_bias: bool = True
     remat: bool = False  # HF gradient_checkpointing equivalent
     remat_policy: str = "full"
 
@@ -164,6 +170,52 @@ class SpatialEmbedding(nn.Module):
         return jnp.concatenate([left, upper, right, lower, h, w], axis=-1)
 
 
+def relative_bucket_planes(
+    cfg: "LayoutLMv3Config",
+    position_ids: jax.Array,   # [B, T] 1D positions (text then visual)
+    full_bbox: jax.Array,      # [B, T, 4] text+visual boxes, 0..1000
+    valid_span: Optional[jax.Array] = None,  # [B, L, L] same-segment mask
+    visual_len: int = 0,       # trailing visual tokens (distance-0 vs text)
+    want_1d: bool = True,
+    want_2d: bool = True,
+):
+    """Int bucket planes [(B, T, S)] for (1D, x, y) relative bias
+    (modeling_layoutlmv3.py:507-577). Consumed either by `_bucket_take`
+    (materialized bias) or packed for `ops.bucket_bias` (the fused kernel
+    reconstructs bias tiles in-VMEM from these indices)."""
+    planes = []
+    if want_1d:
+        rel = position_ids[:, None, :] - position_ids[:, :, None]  # [B, T, T]
+        if valid_span is not None:
+            V = visual_len
+            T = position_ids.shape[1]
+            big = position_ids.shape[1]
+            tt = rel[:, : T - V, : T - V]
+            tt = jnp.where((tt > 0) & (~valid_span), big, tt)
+            tt = jnp.where((tt < 0) & (~valid_span), -big, tt)
+            rel = rel.at[:, : T - V, : T - V].set(tt)
+            if V:
+                rel = rel.at[:, T - V :, : T - V].set(0)
+                rel = rel.at[:, : T - V, T - V :].set(0)
+        # rel[i, j] = pos[j] - pos[i] (memory - context), same convention
+        # as relative_position_bucket's input
+        planes.append(relative_position_bucket(
+            rel, True, cfg.rel_pos_bins, cfg.max_rel_pos
+        ))
+    if want_2d:
+        cx = full_bbox[..., 0]
+        cy = full_bbox[..., 3]
+        planes.append(relative_position_bucket(
+            cx[:, None, :] - cx[:, :, None], True, cfg.rel_2d_pos_bins,
+            cfg.max_rel_2d_pos,
+        ))
+        planes.append(relative_position_bucket(
+            cy[:, None, :] - cy[:, :, None], True, cfg.rel_2d_pos_bins,
+            cfg.max_rel_2d_pos,
+        ))
+    return planes
+
+
 def relative_attention_bias(
     cfg: "LayoutLMv3Config",
     t1: Optional[jax.Array],   # [rel_pos_bins, H] or None
@@ -179,40 +231,23 @@ def relative_attention_bias(
 
     Standalone (not a module method) so benchmarks/diagnostics can time the
     bias computation in isolation with the same tables the model learned.
+    This is the MATERIALIZED form — the training hot path uses the fused
+    bucket-bias kernel (ops/bucket_bias.py) instead, which never builds the
+    [B, H, T, S] tensor; this function remains the oracle and the fallback.
     """
+    planes = relative_bucket_planes(
+        cfg, position_ids, full_bbox, valid_span, visual_len,
+        want_1d=t1 is not None, want_2d=tx is not None,
+    )
     bias = None
+    i = 0
     if t1 is not None:
-        rel = position_ids[:, None, :] - position_ids[:, :, None]  # [B, T, T]
-        if valid_span is not None:
-            V = visual_len
-            T = position_ids.shape[1]
-            big = position_ids.shape[1]
-            tt = rel[:, : T - V, : T - V]
-            tt = jnp.where((tt > 0) & (~valid_span), big, tt)
-            tt = jnp.where((tt < 0) & (~valid_span), -big, tt)
-            rel = rel.at[:, : T - V, : T - V].set(tt)
-            if V:
-                rel = rel.at[:, T - V :, : T - V].set(0)
-                rel = rel.at[:, : T - V, T - V :].set(0)
-        # rel[i, j] = pos[j] - pos[i] (memory - context), same convention
-        # as relative_position_bucket's input
-        buckets = relative_position_bucket(
-            rel, True, cfg.rel_pos_bins, cfg.max_rel_pos
-        )
-        bias = _bucket_take(t1, buckets, cfg.rel_pos_bins,
-                            dtype=cfg.dtype)  # [B,H,T,S]
+        bias = _bucket_take(t1, planes[i], cfg.rel_pos_bins, dtype=cfg.dtype)
+        i += 1
     if tx is not None:
-        cx = full_bbox[..., 0]
-        cy = full_bbox[..., 3]
-        bx = relative_position_bucket(
-            cx[:, None, :] - cx[:, :, None], True, cfg.rel_2d_pos_bins, cfg.max_rel_2d_pos
-        )
-        by = relative_position_bucket(
-            cy[:, None, :] - cy[:, :, None], True, cfg.rel_2d_pos_bins, cfg.max_rel_2d_pos
-        )
         b2d = (
-            _bucket_take(tx, bx, cfg.rel_2d_pos_bins, dtype=cfg.dtype)
-            + _bucket_take(ty, by, cfg.rel_2d_pos_bins, dtype=cfg.dtype)
+            _bucket_take(tx, planes[i], cfg.rel_2d_pos_bins, dtype=cfg.dtype)
+            + _bucket_take(ty, planes[i + 1], cfg.rel_2d_pos_bins, dtype=cfg.dtype)
         )  # [B,H,T,S]
         bias = b2d if bias is None else bias + b2d
     if bias is not None:
@@ -307,12 +342,58 @@ class LayoutLMv3Model(nn.Module):
 
         # ---- relative attention bias (computed once, shared by layers) ---------
         t1, tx, ty = self.bias_tables()
-        bias = relative_attention_bias(
-            cfg, t1, tx, ty, position_ids, full_bbox,
-            valid_span=valid_span,
-            visual_len=(cfg.visual_len
-                        if (cfg.visual_embed and images is not None) else 0),
-        )
+        vlen = cfg.visual_len if (cfg.visual_embed and images is not None) else 0
+        if cfg.fused_bias and (t1 is not None or tx is not None):
+            # One-contraction-per-step bias path: materialize the shared
+            # bias ONCE in bf16 via the one-hot MXU lookup (it is identical
+            # for every layer — modeling_layoutlmv3.py:318 computes it once
+            # too), STOP-GRADIENT it, and add the bias_grad_collector's
+            # lazy zeros. The layers stream the bf16 plane through the
+            # blocked one-pass doc kernel (ops/doc_attention.py), whose
+            # backward emits the logit grad `ds` as dbias; JAX sums the 12
+            # layers' cotangents into the collector, whose VJP does ONE
+            # one-hot table contraction per step — no per-layer f32 dbias,
+            # no per-layer contraction. (The in-kernel gather variant,
+            # ops/bucket_bias.py, loses to streaming at S<=2048: the VPU
+            # lane-gather costs ~2.5 ms/layer-pass vs 0.5 ms of HBM.)
+            from unilm_tpu.ops.bucket_bias import (BucketBias,
+                                                   bias_grad_collector,
+                                                   materialize_bias,
+                                                   pack_bucket_planes)
+
+            planes = relative_bucket_planes(
+                cfg, position_ids, full_bbox, valid_span, vlen,
+                want_1d=t1 is not None, want_2d=tx is not None,
+            )
+            tables = tuple(t for t in (t1, tx, ty) if t is not None)
+            packed = pack_bucket_planes(*planes)
+            head_scale = float(cfg.hidden_size // cfg.num_heads) ** -0.5
+            Bv, Tv, Sv = packed.shape
+            Bq = position_ids.shape[0]
+            from unilm_tpu.ops.doc_attention import HeadMajorBias
+
+            sym = BucketBias(packed=packed, tables=tables, scale=head_scale)
+            # HEAD-MAJOR [H, B, T, S]: the one-hot dot's natural output
+            # order — the [B, H, *] transpose of this 386 MB plane lowers
+            # to an XLA while-loop worth ~16 ms/step (profiled); the doc
+            # kernel streams head-major natively.
+            dense = jax.lax.stop_gradient(
+                materialize_bias(sym, jnp.bfloat16, layout="hbts"))
+            if dense.shape[1] == 1 and Bq > 1:
+                dense = jnp.broadcast_to(
+                    dense, (dense.shape[0], Bq) + dense.shape[2:])
+            # tables are shared by all layers: their gradient is ONE
+            # contraction of the layer-summed logit grads — the collector
+            # receives that sum as its cotangent (bucket_bias.py)
+            vbias = bias_grad_collector(
+                tables, packed, (cfg.num_heads, Bq, Tv, Sv),
+                "bfloat16", head_scale, "hbts")
+            bias = HeadMajorBias(hbts=dense + vbias)
+        else:
+            bias = relative_attention_bias(
+                cfg, t1, tx, ty, position_ids, full_bbox,
+                valid_span=valid_span, visual_len=vlen,
+            )
 
         return Encoder(tcfg, name="encoder")(
             x,

@@ -94,6 +94,55 @@ def attention(
     B, T, H, D = q.shape
     S = k.shape[1]
 
+    # Symbolic bucketed bias (LayoutLMv3 1D+2D tables, ops/bucket_bias.py):
+    # on TPU the fused kernel reconstructs every bias tile in-VMEM from the
+    # packed [B, T, S] bucket plane — no [B, H, T, S] bias is ever
+    # materialized in either direction. Anywhere the kernel doesn't apply,
+    # materialize and fall through to the ordinary dispatch below.
+    from unilm_tpu.ops.bucket_bias import BucketBias
+
+    if isinstance(bias, BucketBias):
+        from unilm_tpu.ops import bucket_bias as bb
+        from unilm_tpu.ops import flash_attention as fa
+
+        if (
+            use_flash
+            and dropout_rate == 0.0
+            and fa.is_available()
+            and bb.supports(q, k, bias, causal=causal, window=window,
+                            kv_len=kv_len, q_offset=q_offset)
+        ):
+            return bb.bucket_bias_attention(
+                q, k, v, bias, key_padding_mask, scale,
+                interpret=not fa_on_tpu(),
+            )
+        bias = bb.materialize_bias(bias, q.dtype)
+
+    # Head-major [H, B, T, S] bias (doc_attention.HeadMajorBias — the
+    # one-hot bias lookup's natural output order; LayoutLMv3's fused-bias
+    # path): stream it directly through the doc kernel. Anywhere the
+    # kernel doesn't apply, transpose to the public [B, H, T, S] order
+    # and fall through.
+    from unilm_tpu.ops import doc_attention as da
+
+    if isinstance(bias, da.HeadMajorBias):
+        from unilm_tpu.ops import flash_attention as fa
+
+        if (
+            use_flash
+            and dropout_rate == 0.0
+            and T > 8
+            and fa.is_available()
+            and da.supports(q, k, bias, causal=causal, window=window,
+                            kv_len=kv_len, q_offset=q_offset)
+        ):
+            return da.doc_attention(
+                q, k, v, bias, key_padding_mask,
+                scale if scale is not None else D**-0.5,
+                interpret=not fa_on_tpu(),
+            )
+        bias = jnp.moveaxis(bias.hbts, 0, 1)
+
     # Measured crossover on v5e (PERFORMANCE.md): the blocked flash grid wins
     # at long S and always for sliding windows (avoids O(T*S) HBM traffic);
     # below ~1K keys the one-pass fused kernel (whole-S-in-VMEM, grid over
@@ -131,6 +180,28 @@ def attention(
         # once and keeps scores in VMEM. One-pass can't take these shapes
         # (the resident [H,Tp,Sp] bias plane exceeds its VMEM budget), so
         # without this the hot DocAI shape (S=709) ran dense XLA.
+        # Blocked one-pass doc kernel (ops/doc_attention.py): the S <= 2048
+        # encoder cases the whole-plane ViT kernel can't take — key-padding
+        # masks and full per-example biases (LayoutLMv3/TrOCR/DiT
+        # fine-tuning). Streams the bias once per pass, accumulates dk/dv
+        # in VMEM, and emits a bf16 dbias — replacing the dense-XLA /
+        # blocked-flash backwards that ran 4-6x over roofline here.
+        from unilm_tpu.ops import doc_attention as da
+
+        if (
+            not causal
+            and not window
+            and fa.is_available()
+            and da.supports(q, k, bias, causal=causal, window=window,
+                            kv_len=kv_len, q_offset=q_offset)
+            and (key_padding_mask is not None or bias is not None)
+        ):
+            return da.doc_attention(
+                q, k, v, bias, key_padding_mask,
+                scale if scale is not None else D**-0.5,
+                interpret=not fa_on_tpu(),
+            )
+
         per_example_bias = (
             bias is not None and bias.shape[0] == B > 1 and bias.shape[1] == H
         )

@@ -949,21 +949,22 @@ def _vit_bwd(scale, interpret, res, g):
         return dq, dk, dv, dbias[
             :, :, : bias.shape[2], : bias.shape[3]
         ].astype(bias.dtype)
-    if bias is not None and bias.shape[0] == B and bias.shape[1] == H:
-        # Full per-example bias (LayoutLMv3's 1D+2D bucket bias): the
-        # one-pass kernel's resident [H, Tp, Sp] bias plane exceeds VMEM,
-        # but the blocked flash backward computes dbias per block with no
-        # cross-batch/head reduction. Route through its vjp — one extra
-        # fwd kernel run, vs the dense fallback's materialized [B,H,T,S]
-        # f32 logits (the peak allocation and ~2x step time at B=32).
-        _, vjp = jax.vjp(
-            lambda q_, k_, v_, b_: flash_attention(
-                q_, k_, v_, bias=b_, scale=scale, causal=False,
-                interpret=interpret,
-            ),
-            q, k, v, bias,
-        )
-        return vjp(g)
+    # Whole-plane one-pass inadmissible (the [Tp, Sp] plane set exceeds
+    # VMEM right at the document-AI shapes, B=32 T=S=709): the blocked
+    # one-pass doc backward streams the bias per q-block and accumulates
+    # dk/dv in VMEM. Replaces the dense-XLA vjp (materialized [B,H,T,S]
+    # f32 logits, ~8 ms/layer) and the blocked-flash vjp (~12 ms/layer
+    # with relayout) that round 3 fell back to here.
+    from unilm_tpu.ops.doc_attention import doc_backward
+    from unilm_tpu.ops.doc_attention import supports as doc_supports
+
+    if doc_supports(q, k, bias, causal=False, window=0, kv_len=None,
+                    q_offset=None):
+        dq, dk, dv, dbias = doc_backward(
+            q, k, v, bias, None, g, scale, interpret=interpret)
+        if bias is None:
+            return dq, dk, dv, None
+        return dq, dk, dv, dbias.astype(bias.dtype)
     if bias is None:
         _, vjp = jax.vjp(lambda q, k, v: _vit_ref(q, k, v, None, scale), q, k, v)
         return (*vjp(g), None)
