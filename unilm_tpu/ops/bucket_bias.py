@@ -104,14 +104,16 @@ def materialize_bias(bb: BucketBias, dtype=jnp.float32,
     B, T, S = bb.packed.shape
     bias = None
     for t, table in enumerate(bb.tables):
-        f = unpack_field(bb.packed, t).reshape(-1)
+        f = unpack_field(bb.packed, t)  # [B, T, S] — KEEP 3D: the 4D
+        # dot_general below lowers to a fused one-hot multiply-reduce with
+        # NO flatten retile; the flat [H, BTS] form forced two while-loop
+        # retiles worth ~17 ms/step at the FUNSD shape (16x measured).
         nb, H = table.shape
-        oh = jax.nn.one_hot(f, nb, dtype=dtype)  # [BTS, nb]
-        r = jax.lax.dot_general(
-            table.T.astype(dtype), oh, (((1,), (1,)), ((), ())),
+        oh = jax.nn.one_hot(f, nb, dtype=dtype)  # [B, T, S, nb] (fused)
+        g = jax.lax.dot_general(
+            table.T.astype(dtype), oh, (((1,), (3,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [H, BTS]
-        g = r.reshape(H, B, T, S)
+        )  # [H, B, T, S]
         bias = g if bias is None else bias + g
     if layout == "bhts":
         bias = jnp.moveaxis(bias, 0, 1)
@@ -140,28 +142,30 @@ def _collector_fwd(tables, packed, shape, dtype, scale, layout="bhts"):
 
 def _collector_bwd(shape, dtype, scale, layout, res, g):
     tables, packed = res
+    # Multi-dim dot_generals against the 3D bucket plane: XLA lowers them
+    # to fused one-hot multiply-reduces with NO flatten retile (the flat
+    # [H, N] x [N, nb] form cost two ~20 ms while-loop retiles per step at
+    # the FUNSD shape — 41x measured).
     if layout == "hbts":  # [H, B, T, S]: the doc-kernel streaming layout
         H, B, T, S = shape
         gf = g
         if packed.shape[0] == 1 and B > 1:
             gf = jnp.sum(gf.astype(jnp.float32), axis=1, keepdims=True)
-        pk = packed.reshape(-1)
-        flat = gf.reshape(H, -1)  # FREE: head-major needs no transpose
+        contract = (((1, 2, 3), (0, 1, 2)), ((), ()))  # over (B, T, S)
     else:
         B, H, T, S = shape
         gf = g
         if packed.shape[0] == 1 and B > 1:
             gf = jnp.sum(gf.astype(jnp.float32), axis=0, keepdims=True)
-        pk = packed.reshape(-1)
-        flat = jnp.moveaxis(gf, 1, 0).reshape(H, -1)  # [H, N]
+        gf = jnp.moveaxis(gf, 1, 0)  # [H, B, T, S] (small B*H loop, rare path)
+        contract = (((1, 2, 3), (0, 1, 2)), ((), ()))
     dtables = []
     for t, table in enumerate(tables):
         nb = table.shape[0]
-        f = (pk >> (FIELD_BITS * t)) & FIELD_MASK
-        oh = jax.nn.one_hot(f, nb, dtype=flat.dtype)  # [N, nb] (fused compare)
+        f = (packed >> (FIELD_BITS * t)) & FIELD_MASK  # [B, T, S]
+        oh = jax.nn.one_hot(f, nb, dtype=gf.dtype)  # [B, T, S, nb] (fused)
         dtab = jax.lax.dot_general(
-            flat, oh, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            gf, oh, contract, preferred_element_type=jnp.float32,
         )  # [H, nb]
         dtables.append((dtab.T * scale).astype(table.dtype))
     f0 = np.zeros(packed.shape, jax.dtypes.float0)
