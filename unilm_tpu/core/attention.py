@@ -28,7 +28,7 @@ from unilm_tpu.core.config import TransformerConfig
 from unilm_tpu.core.layers import scaled_init
 from unilm_tpu.core import positional
 from unilm_tpu.core.multiway import MultiwayDense, MultiwayNorm
-from unilm_tpu.ops.attention import attention
+from unilm_tpu.ops.attention import attention, fa_on_tpu
 
 
 class MultiheadAttention(nn.Module):
@@ -94,6 +94,40 @@ class MultiheadAttention(nn.Module):
         # ------------------------------------------------------------------ #
         q_offset = jnp.zeros((), jnp.int32)
         kv_len = None  # valid prefix of k/v (None = full)
+
+        if mode == "train" and cfg.seq_axis and not cross:
+            # Sequence-parallel self-attention (cfg.seq_axis): we hold a
+            # [B, Tl, ...] shard of the sequence under shard_map. xPos must
+            # rotate at GLOBAL positions (shard_start + 0..Tl), and the
+            # length-extrapolation qscale normalizes by the GLOBAL length.
+            k = proj(key, "k_proj", qk_init)
+            v = proj(value, "v_proj", v_init)
+            n_shards = jax.lax.psum(1, cfg.seq_axis)
+            shard_start = jax.lax.axis_index(cfg.seq_axis) * T
+            if self.use_xpos:
+                q, k = self._apply_xpos_positions(q, k, shard_start)
+                qscale = positional.length_extrapolation_qscale(
+                    shard_start + jnp.arange(T), jnp.asarray(T * n_shards),
+                    cfg.scale_length, jnp.float32,
+                )
+                q = (q * qscale[None, :, None, None]).astype(q.dtype)
+            assert attn_bias is None and key_padding_mask is None, (
+                "seq_axis self-attention supports no bias/key-padding yet")
+            from unilm_tpu.parallel.ring_attention import ring_attention_flash
+
+            out = ring_attention_flash(
+                q, k, v, cfg.seq_axis, causal,
+                self.scale if self.scale is not None else cfg.attn_scale,
+                cfg.flash_block_q, cfg.flash_block_k, not fa_on_tpu(),
+            )
+            out = out.reshape(B, T, H * D)
+            if cfg.subln and self.self_attention:
+                from unilm_tpu.core.layers import make_norm
+
+                out = make_norm(cfg, "inner_attn_ln")(out)
+            from unilm_tpu.core.layers import make_dense
+
+            return make_dense(cfg, E, kernel_init=o_init, name="out_proj")(out)
 
         if mode == "train":
             k = proj(key, "k_proj", qk_init)

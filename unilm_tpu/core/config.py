@@ -76,6 +76,14 @@ class TransformerConfig:
     # memory); 'dots' = jax dots_with_no_batch_dims_saveable — keep matmul
     # outputs, recompute only elementwise (higher MFU, ~2x activation memory)
     use_flash: bool = True  # Pallas flash attention when on TPU
+    # Sequence/context parallelism: name of the mesh axis the sequence is
+    # sharded over. When set, the model must run under shard_map with the
+    # T dim split on this axis; self-attention routes through the
+    # flash-chunk ring (parallel/ring_attention.ring_attention_flash) and
+    # xPos uses global positions. The long-context training path
+    # (LongNet/YOCO envelope) — lets a step whose activations exceed one
+    # chip train across the ring. See parallel/long_context.py.
+    seq_axis: Any = None  # Optional[str]
     window_size: int = 0  # sliding-window attention (0 = full)
     flash_block_q: int = 512
     flash_block_k: int = 1024

@@ -10,6 +10,8 @@ Replaces fairseq's distributed_init + process-group registry
 - fsdp:   parameter/optimizer sharding axis (FSDP/ZeRO equivalent)
 - tensor: tensor-parallel axis (Megatron column/row splits)
 - expert: MoE expert parallelism (X-MoE all_to_all groups)
+- seq:    sequence/context parallelism (flash-chunk ring attention,
+          parallel/ring_attention.py + long_context.py)
 
 Axes of size 1 are free; ICI carries intra-slice traffic, DCN multi-slice.
 """
@@ -22,7 +24,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
-MESH_AXES = ("stage", "data", "fsdp", "tensor", "expert")
+MESH_AXES = ("stage", "data", "fsdp", "tensor", "expert", "seq")
 
 
 def make_mesh(

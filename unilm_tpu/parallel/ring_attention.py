@@ -23,6 +23,7 @@ Use under shard_map, e.g.:
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -91,3 +92,178 @@ def ring_attention(
     )
     out = o / jnp.where(l > 0.0, l, 1.0)
     return out.transpose(0, 2, 1, 3).astype(q.dtype)  # [B, Tl, H, D]
+
+
+# --------------------------------------------------------------------------- #
+# Flash-chunk ring attention (trainable)
+# --------------------------------------------------------------------------- #
+#
+# The dense ring above materializes [B, H, Tl, S] fp32 logits per chunk —
+# at the long contexts SP exists for, that is memory/VPU-bound. This
+# variant runs the Pallas flash kernel inside every chunk and implements
+# the EXACT backward as a second ring pass: the forward saves the GLOBAL
+# (out, lse); each backward chunk recomputes its probabilities against the
+# global lse (p_c = exp(s_c - lse_glob)), so ds_c = p_c * (dp_c - delta)
+# with delta = rowsum(dO * out) — the per-chunk contributions are exactly
+# the blocks of the full-attention backward. dk/dv accumulators travel the
+# ring WITH their k/v chunks and arrive home after P hops.
+#
+# Chunk scheduling: step 0 is always the diagonal (own chunk, causal mask
+# with offset 0 — a STATIC kernel configuration); later steps are either
+# strictly-past (full visibility, causal=False) or strictly-future
+# (contribution zeroed by the validity select, keeping the collective
+# schedule SPMD-uniform).
+
+
+def _merge(o, lse, o_c, lse_c, valid):
+    """Online-softmax merge of (normalized out, lse) pairs; invalid chunks
+    contribute nothing. All fp32."""
+    lse_c = jnp.where(valid, lse_c, NEG_INF)
+    o_c = jnp.where(valid, o_c, 0.0)
+    m = jnp.maximum(lse, lse_c)
+    m_safe = jnp.where(m <= NEG_INF / 2, 0.0, m)
+    w1 = jnp.exp(jnp.maximum(lse - m_safe, NEG_INF))
+    w2 = jnp.exp(jnp.maximum(lse_c - m_safe, NEG_INF))
+    denom = jnp.where(w1 + w2 > 0.0, w1 + w2, 1.0)
+    o = (o * w1[..., None] + o_c * w2[..., None]) / denom[..., None]
+    lse = m_safe + jnp.log(denom)
+    lse = jnp.where(m <= NEG_INF / 2, NEG_INF, lse)
+    return o, lse
+
+
+def _ring_fwd_impl(q, k, v, axis_name, causal, scale, block_q, block_k,
+                   interpret):
+    from unilm_tpu.ops import flash_attention as fa
+
+    B, Tl, H, D = q.shape
+    P = jax.lax.psum(1, axis_name)
+    my_idx = jax.lax.axis_index(axis_name)
+    qt = (q * scale).swapaxes(1, 2)  # [B, H, Tl, D] pre-scaled
+    kt = k.swapaxes(1, 2)
+    vt = v.swapaxes(1, 2)
+    zero = jnp.zeros((1,), jnp.int32)
+    lim = jnp.full((1,), Tl, jnp.int32)
+    bq = min(block_q, _cdiv8(Tl))
+    bk = min(block_k, _cdiv8(Tl))
+
+    # diagonal chunk: own k/v, static causal config
+    o, lse = fa._flash_forward(
+        qt, kt, vt, None, None, zero, lim,
+        causal=causal, window=0, block_q=bq, block_k=bk, interpret=interpret)
+    o = o.astype(jnp.float32)
+
+    def body(carry, step):
+        o, lse, kc, vc = carry
+        kc = jax.lax.ppermute(kc, axis_name, [(i, (i + 1) % P) for i in range(P)])
+        vc = jax.lax.ppermute(vc, axis_name, [(i, (i + 1) % P) for i in range(P)])
+        k_idx = (my_idx - step) % P
+        valid = jnp.logical_or(jnp.logical_not(causal), k_idx < my_idx)
+        o_c, lse_c = fa._flash_forward(
+            qt, kc, vc, None, None, zero, lim,
+            causal=False, window=0, block_q=bq, block_k=bk,
+            interpret=interpret)
+        o, lse = _merge(o, lse, o_c.astype(jnp.float32), lse_c, valid)
+        return (o, lse, kc, vc), None
+
+    if isinstance(P, int) and P == 1:
+        steps = jnp.arange(0)
+    else:
+        steps = jnp.arange(1, P)
+    (o, lse, _, _), _ = jax.lax.scan(body, (o, lse, kt, vt), steps)
+    return o, lse  # [B, H, Tl, D] f32, [B, H, Tl] f32
+
+
+def _cdiv8(n):
+    return -(-n // 8) * 8
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def ring_attention_flash(q, k, v, axis_name, causal=False, scale=None,
+                         block_q=512, block_k=512, interpret=False):
+    """Sequence-parallel exact attention with flash kernels per chunk.
+
+    q/k/v: [B, Tl, H, D] local shards under shard_map over `axis_name`.
+    Returns [B, Tl, H, D]. Differentiable: the backward is a second ring
+    pass of flash-backward chunk kernels (see module comment)."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    o, _ = _ring_fwd_impl(q, k, v, axis_name, causal, scale, block_q,
+                          block_k, interpret)
+    return o.swapaxes(1, 2).astype(q.dtype)
+
+
+def _ring_flash_fwd(q, k, v, axis_name, causal, scale, block_q, block_k,
+                    interpret):
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    o, lse = _ring_fwd_impl(q, k, v, axis_name, causal, scale, block_q,
+                            block_k, interpret)
+    out = o.swapaxes(1, 2).astype(q.dtype)
+    return out, (q, k, v, out, lse)
+
+
+def _ring_flash_bwd(axis_name, causal, scale, block_q, block_k, interpret,
+                    res, g):
+    from unilm_tpu.ops import flash_attention as fa
+
+    q, k, v, out, lse = res
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    B, Tl, H, D = q.shape
+    P = jax.lax.psum(1, axis_name)
+    my_idx = jax.lax.axis_index(axis_name)
+    qt = (q * scale).swapaxes(1, 2)
+    kt = k.swapaxes(1, 2)
+    vt = v.swapaxes(1, 2)
+    gt = g.swapaxes(1, 2)
+    ot = out.swapaxes(1, 2)
+    zero = jnp.zeros((1,), jnp.int32)
+    lim = jnp.full((1,), Tl, jnp.int32)
+    bq = min(block_q, _cdiv8(Tl))
+    bk = min(block_k, _cdiv8(Tl))
+
+    # diagonal chunk
+    dq, dk0, dv0, _ = fa._flash_backward_pallas(
+        qt, kt, vt, None, None, zero, lim, ot, lse, gt,
+        causal=causal, window=0, block_q=bq, block_k=bk, interpret=interpret)
+    dq = dq.astype(jnp.float32)
+    dkt = dk0.astype(jnp.float32)
+    dvt = dv0.astype(jnp.float32)
+
+    def body(carry, step):
+        dq, kc, vc, dkc, dvc = carry
+        perm = [(i, (i + 1) % P) for i in range(P)]
+        kc = jax.lax.ppermute(kc, axis_name, perm)
+        vc = jax.lax.ppermute(vc, axis_name, perm)
+        dkc = jax.lax.ppermute(dkc, axis_name, perm)
+        dvc = jax.lax.ppermute(dvc, axis_name, perm)
+        k_idx = (my_idx - step) % P
+        valid = jnp.logical_or(jnp.logical_not(causal), k_idx < my_idx)
+        dq_c, dk_c, dv_c, _ = fa._flash_backward_pallas(
+            qt, kc, vc, None, None, zero, lim, ot, lse, gt,
+            causal=False, window=0, block_q=bq, block_k=bk,
+            interpret=interpret)
+        vf = valid.astype(jnp.float32)
+        dq = dq + dq_c.astype(jnp.float32) * vf
+        dkc = dkc + dk_c.astype(jnp.float32) * vf
+        dvc = dvc + dv_c.astype(jnp.float32) * vf
+        return (dq, kc, vc, dkc, dvc), None
+
+    if isinstance(P, int) and P == 1:
+        steps = jnp.arange(0)
+    else:
+        steps = jnp.arange(1, P)
+    (dq, kc, vc, dkt, dvt), _ = jax.lax.scan(
+        body, (dq, kt, vt, dkt, dvt), steps)
+    # one final hop returns every accumulator to its chunk's home device
+    perm = [(i, (i + 1) % P) for i in range(P)]
+    dkt = jax.lax.ppermute(dkt, axis_name, perm)
+    dvt = jax.lax.ppermute(dvt, axis_name, perm)
+
+    dq_out = (dq * scale).swapaxes(1, 2).astype(q.dtype)
+    dk_out = dkt.swapaxes(1, 2).astype(k.dtype)
+    dv_out = dvt.swapaxes(1, 2).astype(v.dtype)
+    return dq_out, dk_out, dv_out
+
+
+ring_attention_flash.defvjp(_ring_flash_fwd, _ring_flash_bwd)
