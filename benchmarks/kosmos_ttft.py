@@ -27,11 +27,16 @@ def main():
     p.add_argument("--image_tokens", type=int, default=2048)
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--decode_steps", type=int, default=32)
+    p.add_argument("--int8", action="store_true",
+                   help="int8 weight-only decoder projections for the decode"
+                        " loop (the ~2.6 GB bf16 weight stream bounds bs=1"
+                        " decode; int8 halves the floor)")
     args = p.parse_args()
 
     from unilm_tpu.models.kosmos import UniGPT, kosmos2_5, make_unigpt_generate_fns
 
-    cfg = kosmos2_5(dtype=jnp.bfloat16, latent_query_num=args.image_tokens)
+    cfg = kosmos2_5(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
+                    latent_query_num=args.image_tokens)  # --memory-efficient-fp16
     model = UniGPT(cfg)
 
     B = 1
@@ -75,6 +80,21 @@ def main():
     print(f"TTFT p50: {med*1e3:.1f} ms  (target < 150 ms)  all={sorted(round(t*1e3,1) for t in times)}")
 
     # --- decode throughput -------------------------------------------------
+    if args.int8:
+        import dataclasses
+
+        from unilm_tpu.ops.quant import quantize_dense_tree
+
+        _PROJ = {"q_proj", "k_proj", "v_proj", "out_proj", "fc1", "fc2", "fc3"}
+        params = quantize_dense_tree(
+            params,
+            predicate=lambda pth: pth[-2] in _PROJ and any(
+                s.startswith("layers_") for s in pth),
+        )
+        cfg = dataclasses.replace(cfg, quant_weights=True)
+        model = UniGPT(cfg)
+        prefill, step = make_unigpt_generate_fns(model, cache_size=cache)
+
     def decode_loop(params, cache_state, tok):
         def body(i, carry):
             tok, cache_state, acc = carry

@@ -56,6 +56,10 @@ def main(argv=None):
     p.add_argument("--checkpoint", default="", help="fairseq kosmos-2.5 .pt")
     p.add_argument("--max_new_tokens", type=int, default=1024)
     p.add_argument("--beam", type=int, default=1)
+    p.add_argument("--int8", action="store_true",
+                   help="int8 weight-only decoder projections (ops/quant.py):"
+                        " halves the bs=1 decode weight stream, the"
+                        " interactive-demo hot path (kosmos-2.5/inference.py)")
     p.add_argument("--max_patches", type=int, default=4096)
     p.add_argument("--num_image_tokens", type=int, default=2048)
     p.add_argument("--image_id", type=int, default=100283)
@@ -119,6 +123,22 @@ def build_pipeline(args):
         params = jax.jit(
             lambda r: model.init(r, tokens, dummy, img_mask, segs)["params"]
         )(jax.random.PRNGKey(0))
+
+    if args.int8:
+        # decoder projections only; embeddings/norms/towers stay full
+        # precision (same predicate as runtime/serving.py)
+        import dataclasses
+
+        from unilm_tpu.ops.quant import quantize_dense_tree
+
+        _PROJ = {"q_proj", "k_proj", "v_proj", "out_proj", "fc1", "fc2", "fc3"}
+        params = quantize_dense_tree(
+            params,
+            predicate=lambda pth: pth[-2] in _PROJ and any(
+                s.startswith("layers_") for s in pth),
+        )
+        cfg = dataclasses.replace(cfg, quant_weights=True)
+        model = UniGPT(cfg)
 
     cache_size = tokens.shape[1] + args.max_new_tokens
     prefill, step = make_unigpt_generate_fns(model, cache_size=cache_size)

@@ -56,8 +56,9 @@ def quantize_int8(w: jax.Array, axis: int = 0) -> Tuple[jax.Array, jax.Array]:
     return wi, scale.astype(jnp.float32)
 
 
-def _int8_matmul_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_kb: int):
-    kb = pl.program_id(1)
+def _int8_matmul_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_kb: int,
+                        matvec: bool = False):
+    kb = pl.program_id(2)
 
     @pl.when(kb == 0)
     def _zero():
@@ -65,10 +66,18 @@ def _int8_matmul_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_kb: int):
 
     x = x_ref[...]
     w = w_ref[...].astype(x.dtype)  # int8 -> compute dtype, in VMEM
-    acc_ref[...] += jax.lax.dot_general(
-        x, w, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, **_dot_kwargs(x.dtype)
-    )
+    if matvec:
+        # M == 1 (bs=1 decode): a [1, K] x [K, N] matvec leaves the MXU's
+        # systolic rows idle (measured 14.9 ms/token vs the 1.6 ms int8
+        # weight-stream floor). Elementwise multiply + sublane-reduce runs
+        # the same FMAs on the VPU at full lane width.
+        prod = w.astype(jnp.float32) * x.reshape(-1, 1).astype(jnp.float32)
+        acc_ref[...] += jnp.sum(prod, axis=0, keepdims=True)
+    else:
+        acc_ref[...] += jax.lax.dot_general(
+            x, w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, **_dot_kwargs(x.dtype)
+        )
 
     @pl.when(kb == n_kb - 1)
     def _emit():
@@ -98,21 +107,33 @@ def _int8_matmul_2d(x, w_i8, scale, interpret=False, out_dtype=None,
     out_dtype = out_dtype or x.dtype
     bk = bk or _pick_block(K, 4096 if K <= 4096 else _BLOCK_K)
     bn = bn or _pick_block(N, _BLOCK_N)
+    # block M too: prefill pushes [T~2k, K] activations through the same
+    # projections — an unblocked (M, bk) x block + f32 accumulator blows
+    # scoped VMEM right at the 2053-token kosmos-2.5 prompt
+    bm = M if M <= 512 else 512
+    Mp = -(-M // bm) * bm
+    if Mp != M:
+        x = jnp.pad(x, ((0, Mp - M), (0, 0)))
     n_kb = K // bk
-    kernel = functools.partial(_int8_matmul_kernel, n_kb=n_kb)
-    return pl.pallas_call(
+    kernel = functools.partial(_int8_matmul_kernel, n_kb=n_kb,
+                               matvec=Mp == 1)
+    out = pl.pallas_call(
         kernel,
-        grid=(N // bn, n_kb),
+        grid=(Mp // bm, N // bn, n_kb),
         in_specs=[
-            pl.BlockSpec((M, bk), lambda nb, kb: (0, kb)),
-            pl.BlockSpec((bk, bn), lambda nb, kb: (kb, nb)),
-            pl.BlockSpec((1, bn), lambda nb, kb: (0, nb)),
+            pl.BlockSpec((bm, bk), lambda mb, nb, kb: (mb, kb)),
+            pl.BlockSpec((bk, bn), lambda mb, nb, kb: (kb, nb)),
+            pl.BlockSpec((1, bn), lambda mb, nb, kb: (0, nb)),
         ],
-        out_specs=pl.BlockSpec((M, bn), lambda nb, kb: (0, nb)),
-        scratch_shapes=[pltpu.VMEM((M, bn), jnp.float32)],
-        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        out_specs=pl.BlockSpec((bm, bn), lambda mb, nb, kb: (mb, nb)),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
         interpret=interpret,
     )(x, w_i8, scale.reshape(1, N))
+    return out[:M]
 
 
 def _xla_int8_matmul(x, w_i8, scale):
