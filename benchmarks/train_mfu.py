@@ -592,9 +592,13 @@ def bench_trocr(args):
             feats = model.apply({"params": p}, batch["imgs"],
                                 batch["tok"][:, :-1], deterministic=True,
                                 return_features=True)
-            w = p["text_decoder"]["output_projection"]["kernel"]  # [E, V]
+            dec = p["text_decoder"]
+            if "output_projection" in dec:
+                w = dec["output_projection"]["kernel"].T  # [V, E]
+            else:  # share_input_output_embed: tied decoder, no projection
+                w = dec["embed_tokens"]["embedding"]
             loss, denom = chunked_cross_entropy(
-                feats, w.T, batch["tok"][:, 1:],
+                feats, w, batch["tok"][:, 1:],
                 chunk=args.ce_chunk, label_smoothing=0.1)
             return loss / denom, {}
     else:

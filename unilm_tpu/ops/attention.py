@@ -202,6 +202,10 @@ def attention(
                 interpret=not fa_on_tpu(),
             )
 
+        # B == 1 per-example biases never reach this crossover: the doc
+        # kernel above takes every non-causal biased shape at S <= 1024
+        # (incl. batch-1 single-document inference), so this clause only
+        # steers the S > 1024 long-bias remainder to the blocked kernel.
         per_example_bias = (
             bias is not None and bias.shape[0] == B > 1 and bias.shape[1] == H
         )
