@@ -165,7 +165,9 @@ def test_model_fused_matches_materialized(monkeypatch):
         outs.append(lg)
         grads.append(gr)
 
-    np.testing.assert_allclose(outs[0], outs[1], atol=3e-5, rtol=3e-5)
+    # 1e-4: the fused path folds the bias scale into the tables before
+    # the one-hot dot (different rounding order than scale-after-sum)
+    np.testing.assert_allclose(outs[0], outs[1], atol=1e-4, rtol=1e-4)
     for a, b in zip(jax.tree.leaves(grads[0]), jax.tree.leaves(grads[1])):
         np.testing.assert_allclose(a, b, atol=1e-4, rtol=2e-3)
 

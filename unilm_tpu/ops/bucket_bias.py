@@ -102,6 +102,12 @@ def materialize_bias(bb: BucketBias, dtype=jnp.float32,
     FUNSD shape — head-major kills it; ops/doc_attention streams either
     layout (HeadMajorBias wrapper)."""
     B, T, S = bb.packed.shape
+    # fold the 1/sqrt(d) scale into the tiny [nb, H] tables up front and
+    # accumulate the per-table planes in the OUTPUT dtype: the epilogue
+    # `(bias * scale).astype(dtype)` was a full [H,B,T,S] f32 multiply+cast
+    # pass (~3.4 ms/step at the FUNSD shape) and f32 plane adds another
+    # ~2 ms — both invisible below the bf16 the bias ships at anyway.
+    acc_t = jnp.float32 if dtype == jnp.float32 else dtype
     bias = None
     for t, table in enumerate(bb.tables):
         f = unpack_field(bb.packed, t)  # [B, T, S] — KEEP 3D: the 4D
@@ -111,13 +117,13 @@ def materialize_bias(bb: BucketBias, dtype=jnp.float32,
         nb, H = table.shape
         oh = jax.nn.one_hot(f, nb, dtype=dtype)  # [B, T, S, nb] (fused)
         g = jax.lax.dot_general(
-            table.T.astype(dtype), oh, (((1,), (3,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            (table.T * bb.scale).astype(dtype), oh, (((1,), (3,)), ((), ())),
+            preferred_element_type=acc_t,
         )  # [H, B, T, S]
         bias = g if bias is None else bias + g
     if layout == "bhts":
         bias = jnp.moveaxis(bias, 0, 1)
-    return (bias * bb.scale).astype(dtype)
+    return bias.astype(dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
