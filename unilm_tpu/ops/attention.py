@@ -180,12 +180,15 @@ def attention(
         # once and keeps scores in VMEM. One-pass can't take these shapes
         # (the resident [H,Tp,Sp] bias plane exceeds its VMEM budget), so
         # without this the hot DocAI shape (S=709) ran dense XLA.
-        # Blocked one-pass doc kernel (ops/doc_attention.py): the S <= 2048
-        # encoder cases the whole-plane ViT kernel can't take — key-padding
-        # masks and full per-example biases (LayoutLMv3/TrOCR/DiT
-        # fine-tuning). Streams the bias once per pass, accumulates dk/dv
-        # in VMEM, and emits a bf16 dbias — replacing the dense-XLA /
-        # blocked-flash backwards that ran 4-6x over roofline here.
+        # Blocked one-pass doc kernel (ops/doc_attention.py): every
+        # remaining non-causal S <= 2048 encoder case the whole-plane ViT
+        # kernel can't take — key-padding masks, full per-example biases
+        # (LayoutLMv3/TrOCR/DiT fine-tuning), and the mid-size plain
+        # shapes whose one-pass VMEM check fails (TrOCR's 580-token DeiT
+        # encoder ran DENSE XLA attention, 70 ms of its 211 ms step).
+        # Streams the bias once per pass, accumulates dk/dv in VMEM, and
+        # emits a bf16 dbias — replacing the dense-XLA / blocked-flash
+        # backwards that ran 4-6x over roofline here.
         from unilm_tpu.ops import doc_attention as da
 
         if (
@@ -194,7 +197,6 @@ def attention(
             and fa.is_available()
             and da.supports(q, k, bias, causal=causal, window=window,
                             kv_len=kv_len, q_offset=q_offset)
-            and (key_padding_mask is not None or bias is not None)
         ):
             return da.doc_attention(
                 q, k, v, bias, key_padding_mask,
