@@ -57,7 +57,10 @@ class MultiheadAttention(nn.Module):
         B, T = query.shape[0], query.shape[1]
         cross = not self.self_attention
         if cross:
-            assert key is not None
+            # decode reads cross K/V from the cache; callers may pass
+            # key=None then (threading the dead beam-tiled encoder tensor
+            # through the decode loop costs real HBM — models/trocr.py)
+            assert key is not None or mode == "decode"
             value = key if value is None else value
         else:
             key = query if key is None else key

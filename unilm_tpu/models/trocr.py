@@ -219,8 +219,12 @@ def make_generate_fns(model: TrOCRModel, cache_size: int):
         return logits, vars_["cache"]
 
     def step(params, tokens, cache, aux):
+        # decode reads cross K/V from the cache — encoder_out is dead here,
+        # and threading the beam-tiled [B*K, S, E] tensor through the decode
+        # while-loop cost 267 ms/batch of rematerialized broadcasts at
+        # TrOCR-base B=32 beam=5 (profiled). Pass None instead.
         logits, vars_ = model.apply(
-            {"params": params, "cache": cache}, tokens, aux, cache_size,
+            {"params": params, "cache": cache}, tokens, None, cache_size,
             method=model.decode_step, mutable=["cache"],
         )
         return logits, vars_["cache"]
