@@ -111,23 +111,25 @@ def _doc_bwd_kernel(
     v_ref,
     do_ref,    # [1, bq, H*D]
     kpm_ref,   # [1, 1, Sp] i32
-    *rest,     # [bias_ref] + dq_ref, dk_ref, dv_ref [+ ds_ref]
+    *rest,     # [bias_ref] + dq_ref, dk_ref, dv_ref [+ ds_ref] + 2 scratch
     group_heads: int, head_dim: int, scale: float, has_bias: bool,
-    bias_h: int, emit_ds: bool, hmajor: bool = False,
+    bias_h: int, emit_ds: bool, n_qblocks: int, hmajor: bool = False,
 ):
     idx = 1 if has_bias else 0
     bias_ref = rest[0] if has_bias else None
     dq_ref, dk_ref, dv_ref = rest[idx], rest[idx + 1], rest[idx + 2]
     ds_ref = rest[idx + 3] if emit_ds else None
+    dk_acc, dv_acc = rest[-2], rest[-1]  # VMEM f32 scratch [Sp, hg*D]
 
     i = pl.program_id(2)
 
-    # dk/dv accumulate across the sequential q-block sweep of this batch
-    # item in the VMEM-resident [Sp, H*D] f32 output blocks
+    # dk/dv accumulate across the sequential q-block sweep in f32 VMEM
+    # scratch; the LAST q-block writes the output in its final dtype —
+    # emitting f32 and slicing/casting in XLA cost ~0.8 ms/layer
     @pl.when(i == 0)
     def _zero():
-        dk_ref[0] = jnp.zeros(dk_ref.shape[1:], dk_ref.dtype)
-        dv_ref[0] = jnp.zeros(dv_ref.shape[1:], dv_ref.dtype)
+        dk_acc[...] = jnp.zeros(dk_acc.shape, dk_acc.dtype)
+        dv_acc[...] = jnp.zeros(dv_acc.shape, dv_acc.dtype)
 
     col_ok = kpm_ref[0] != 0
     for h in range(group_heads):
@@ -164,14 +166,19 @@ def _doc_bwd_kernel(
             dsl, k_ref[0, :, sl], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, **_dot_kwargs(q_ref.dtype),
         ) * scale).astype(dq_ref.dtype)
-        dk_ref[0, :, sl] += jax.lax.dot_general(
+        dk_acc[:, sl] += jax.lax.dot_general(
             dsl, q_ref[0, :, sl], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, **_dot_kwargs(q_ref.dtype),
         ) * scale
-        dv_ref[0, :, sl] += jax.lax.dot_general(
+        dv_acc[:, sl] += jax.lax.dot_general(
             p.astype(do_ref.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, **_dot_kwargs(q_ref.dtype),
         )
+
+    @pl.when(i == n_qblocks - 1)
+    def _emit():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
 def _prep(q, k, v, bias, kpm, block_q):
@@ -326,8 +333,8 @@ def doc_backward(q, k, v, bias, kpm, g, scale,
     ]
     out_shapes = [
         jax.ShapeDtypeStruct((B, Tp, H * D), q.dtype),
-        jax.ShapeDtypeStruct((B, Sp, H * D), jnp.float32),
-        jax.ShapeDtypeStruct((B, Sp, H * D), jnp.float32),
+        jax.ShapeDtypeStruct((B, Sp, H * D), k.dtype),
+        jax.ShapeDtypeStruct((B, Sp, H * D), v.dtype),
     ]
     if emit_ds:
         if hmajor:
@@ -345,19 +352,21 @@ def doc_backward(q, k, v, bias, kpm, g, scale,
         functools.partial(_doc_bwd_kernel, group_heads=hg, head_dim=D,
                           scale=scale, has_bias=has_bias, hmajor=hmajor,
                           bias_h=biasf.shape[1] if has_bias else 0,
-                          emit_ds=emit_ds),
+                          emit_ds=emit_ds, n_qblocks=nq),
         grid=(B, G, nq),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shapes),
+        scratch_shapes=[pltpu.VMEM((Sp, hgD), jnp.float32),
+                        pltpu.VMEM((Sp, hgD), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(*inputs)
     dq = res[0][:, :T].reshape(B, T, H, D)
-    dk = res[1][:, :S].reshape(B, S, H, D).astype(k.dtype)
-    dv = res[2][:, :S].reshape(B, S, H, D).astype(v.dtype)
+    dk = res[1][:, :S].reshape(B, S, H, D)
+    dv = res[2][:, :S].reshape(B, S, H, D)
     if not has_bias:
         return dq, dk, dv, None
     ds = res[3][:, :, :T, :S]
