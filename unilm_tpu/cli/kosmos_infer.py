@@ -124,7 +124,7 @@ def build_pipeline(args):
             lambda r: model.init(r, tokens, dummy, img_mask, segs)["params"]
         )(jax.random.PRNGKey(0))
 
-    if args.int8:
+    if getattr(args, "int8", False):
         # decoder projections only; embeddings/norms/towers stay full
         # precision (same predicate as runtime/serving.py)
         import dataclasses
