@@ -31,12 +31,16 @@ def main():
                    help="int8 weight-only decoder projections for the decode"
                         " loop (the ~2.6 GB bf16 weight stream bounds bs=1"
                         " decode; int8 halves the floor)")
+    p.add_argument("--no_scan", action="store_true",
+                   help="unrolled Python layer loop instead of the scanned "
+                        "stack (the round-4 dispatch-bound baseline)")
     args = p.parse_args()
 
     from unilm_tpu.models.kosmos import UniGPT, kosmos2_5, make_unigpt_generate_fns
 
     cfg = kosmos2_5(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
-                    latent_query_num=args.image_tokens)  # --memory-efficient-fp16
+                    latent_query_num=args.image_tokens,  # --memory-efficient-fp16
+                    scan_layers=not args.no_scan)
     model = UniGPT(cfg)
 
     B = 1
@@ -89,7 +93,7 @@ def main():
         params = quantize_dense_tree(
             params,
             predicate=lambda pth: pth[-2] in _PROJ and any(
-                s.startswith("layers_") for s in pth),
+                s.startswith("layers") for s in pth),
         )
         cfg = dataclasses.replace(cfg, quant_weights=True)
         model = UniGPT(cfg)

@@ -33,6 +33,9 @@ def main():
     p.add_argument("--max_new_tokens", type=int, default=32)
     p.add_argument("--batches", type=int, default=5)
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--no_scan", action="store_true",
+                   help="unrolled decoder loop (round-4 dispatch-bound "
+                        "baseline) instead of the scanned stack")
     args = p.parse_args()
 
     from unilm_tpu.models.trocr import TrOCRModel, make_generate_fns, trocr_base
@@ -45,9 +48,9 @@ def main():
                           enc_layers=1, enc_heads=2, enc_ffn=64,
                           dec_dim=32, dec_layers=1, dec_heads=2,
                           dec_ffn=64, vocab_size=128, dtype=jnp.bfloat16,
-                          use_flash=False)
+                          use_flash=False, scan_layers=not args.no_scan)
     else:
-        cfg = trocr_base(dtype=jnp.bfloat16)
+        cfg = trocr_base(dtype=jnp.bfloat16, scan_layers=not args.no_scan)
     model = TrOCRModel(cfg)
     cache = 2 + args.max_new_tokens
     prefill, step = make_generate_fns(model, cache_size=cache)

@@ -1,0 +1,209 @@
+"""Parity: scan_layers (lax.scan over stacked params) vs the looped stack.
+
+The scanned decoder is the decode-path dispatch fix (VERDICT r4 #1): the
+interactive decode loops ran 2-4x above their weight-stream roofline because
+each step unrolled 24 flax layers into 600+ tiny ops. These tests pin the
+contract that makes the optimization safe: a looped checkpoint stacked with
+stack_layer_params produces IDENTICAL logits through prefill + decode (and
+train), for both the UniGPT (pre-LN, subln, xPos) and TrOCR (post-LN,
+cross-attention, learned positions) decoder flavours, including the int8
+weight-only path (3D stacked kernels) and beam-search cache gathers.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unilm_tpu.core.config import TransformerConfig
+from unilm_tpu.core.transformer import (
+    Decoder,
+    stack_layer_params,
+    unstack_layer_params,
+)
+
+
+def _mk_decoder_cfg(**kw):
+    base = dict(
+        embed_dim=32, ffn_dim=64, num_layers=3, num_heads=4,
+        vocab_size=0, use_flash=False, max_positions=64,
+    )
+    base.update(kw)
+    return TransformerConfig(**base)
+
+
+def _run_modes(cfg_loop, cfg_scan, has_cross=False, seed=0):
+    """Init looped, stack params, compare train/prefill/decode outputs."""
+    B, T, E, S = 2, 6, cfg_loop.embed_dim, 5
+    rng = jax.random.PRNGKey(seed)
+    x = jax.random.normal(rng, (B, T, E), jnp.float32)
+    enc = jax.random.normal(jax.random.fold_in(rng, 1), (B, S, E), jnp.float32)
+
+    loop = Decoder(cfg_loop, has_cross_attention=has_cross)
+    scan = Decoder(cfg_scan, has_cross_attention=has_cross)
+    enc_arg = enc if has_cross else None
+    p_loop = loop.init(jax.random.PRNGKey(1), x, enc_arg)["params"]
+    p_scan = stack_layer_params(dict(p_loop), cfg_loop.num_layers)
+
+    # --- round trip ------------------------------------------------------
+    rt = unstack_layer_params(dict(p_scan), cfg_loop.num_layers)
+    for leaf_a, leaf_b in zip(jax.tree.leaves(p_loop), jax.tree.leaves(rt)):
+        np.testing.assert_array_equal(np.asarray(leaf_a), np.asarray(leaf_b))
+
+    # --- train -----------------------------------------------------------
+    y_loop = loop.apply({"params": p_loop}, x, enc_arg)
+    y_scan = scan.apply({"params": p_scan}, x, enc_arg)
+    np.testing.assert_allclose(
+        np.asarray(y_loop), np.asarray(y_scan), rtol=1e-5, atol=1e-5)
+
+    # --- prefill + 3 decode steps ---------------------------------------
+    cache_size = T + 4
+    yl, vl = loop.apply({"params": p_loop}, x, enc_arg, mode="prefill",
+                        cache_size=cache_size, mutable=["cache"])
+    ys, vs = scan.apply({"params": p_scan}, x, enc_arg, mode="prefill",
+                        cache_size=cache_size, mutable=["cache"])
+    np.testing.assert_allclose(np.asarray(yl), np.asarray(ys),
+                               rtol=1e-5, atol=1e-5)
+    cl, cs = vl["cache"], vs["cache"]
+    for step in range(3):
+        xt = jax.random.normal(jax.random.fold_in(rng, 10 + step), (B, 1, E))
+        yl, vl = loop.apply({"params": p_loop, "cache": cl}, xt, None if has_cross else None,
+                            mode="decode", cache_size=cache_size, mutable=["cache"])
+        ys, vs = scan.apply({"params": p_scan, "cache": cs}, xt, None,
+                            mode="decode", cache_size=cache_size, mutable=["cache"])
+        cl, cs = vl["cache"], vs["cache"]
+        np.testing.assert_allclose(np.asarray(yl), np.asarray(ys),
+                                   rtol=1e-5, atol=1e-5, err_msg=f"step {step}")
+    return p_loop, p_scan
+
+
+def test_scan_parity_prelnsubln_xpos():
+    """UniGPT flavour: pre-LN + subln + xPos rotary."""
+    kw = dict(subln=True, xpos_rel_pos=True)
+    _run_modes(_mk_decoder_cfg(**kw), _mk_decoder_cfg(scan_layers=True, **kw))
+
+
+def test_scan_parity_postln_cross():
+    """TrOCR flavour: post-LN + cross-attention."""
+    kw = dict(normalize_before=False)
+    _run_modes(_mk_decoder_cfg(**kw), _mk_decoder_cfg(scan_layers=True, **kw),
+               has_cross=True)
+
+
+def test_scan_parity_relpos_buckets():
+    """T5 relative bias lives at Decoder level (outside the scan) and must
+    broadcast into every layer identically."""
+    kw = dict(rel_pos_buckets=8, max_rel_pos=32)
+    _run_modes(_mk_decoder_cfg(**kw), _mk_decoder_cfg(scan_layers=True, **kw))
+
+
+def test_scan_cache_leaves_batch_major():
+    """Cache KV leaves stack on axis 1 ([B, L, S, H, D]) so generation's
+    batch-axis beam gather (runtime.generate._gather_beams) is unchanged."""
+    cfg = _mk_decoder_cfg(scan_layers=True)
+    dec = Decoder(cfg)
+    B, T, E = 2, 4, cfg.embed_dim
+    x = jnp.ones((B, T, E))
+    params = dec.init(jax.random.PRNGKey(0), x)["params"]
+    _, vars_ = dec.apply({"params": params}, x, mode="prefill", cache_size=8,
+                         mutable=["cache"])
+    kv = vars_["cache"]["layers"]["self_attn"]["cached_key"]
+    assert kv.shape == (B, cfg.num_layers, 8, cfg.num_heads,
+                        cfg.embed_dim // cfg.num_heads)
+    assert vars_["cache"]["cache_index"].shape == ()
+
+
+def test_scan_unigpt_generate_parity():
+    """Full UniGPT: looped vs scanned greedy generation token-for-token."""
+    from unilm_tpu.models.kosmos import (
+        UniGPT, UniGPTConfig, make_unigpt_generate_fns, stack_unigpt_params)
+    from unilm_tpu.runtime.generate import GenerationConfig, greedy_generate
+
+    kw = dict(vocab_size=97, embed_dim=32, num_layers=3, num_heads=4,
+              ffn_dim=64, max_positions=128, use_flash=False)
+    m_loop = UniGPT(UniGPTConfig(**kw))
+    m_scan = UniGPT(UniGPTConfig(scan_layers=True, **kw))
+    B, P, cache = 2, 5, 24
+    prompt = jax.random.randint(jax.random.PRNGKey(0), (B, P), 4, 90)
+    p_loop = m_loop.init(jax.random.PRNGKey(1), prompt)["params"]
+    p_scan = stack_unigpt_params(dict(p_loop), 3)
+
+    gcfg = GenerationConfig(beam_size=1, max_new_tokens=8, vocab_size=97,
+                            min_new_tokens=8)
+    toks = {}
+    for name, m, p in (("loop", m_loop, p_loop), ("scan", m_scan, p_scan)):
+        pf, st = make_unigpt_generate_fns(m, cache_size=cache)
+        t, _ = greedy_generate(gcfg, pf, st, p, prompt)
+        toks[name] = np.asarray(t)
+    np.testing.assert_array_equal(toks["loop"], toks["scan"])
+
+
+def test_scan_trocr_beam_parity():
+    """TrOCR beam-5: scanned cross-attn caches + beam gathers on the stacked
+    cache tree reproduce the looped beam output exactly."""
+    from unilm_tpu.models.trocr import (
+        TrOCRConfig, TrOCRModel, make_generate_fns, stack_trocr_params)
+    from unilm_tpu.runtime.generate import GenerationConfig, beam_generate
+
+    kw = dict(img_size=32, patch_size=16, enc_dim=32, enc_layers=1,
+              enc_heads=2, enc_ffn=64, dec_dim=32, dec_layers=3, dec_heads=2,
+              dec_ffn=64, vocab_size=61, use_flash=False)
+    m_loop = TrOCRModel(TrOCRConfig(**kw))
+    m_scan = TrOCRModel(TrOCRConfig(scan_layers=True, **kw))
+    B = 2
+    imgs = jax.random.normal(jax.random.PRNGKey(0), (B, 32, 32, 3))
+    prompt = jnp.zeros((B, 1), jnp.int32)
+    p_loop = m_loop.init(jax.random.PRNGKey(1), imgs, prompt)["params"]
+    p_scan = stack_trocr_params(dict(p_loop), 3)
+
+    gcfg = GenerationConfig(beam_size=5, max_new_tokens=6, vocab_size=61,
+                            min_new_tokens=3)
+    out = {}
+    for name, m, p in (("loop", m_loop, p_loop), ("scan", m_scan, p_scan)):
+        enc = m.apply({"params": p}, imgs, method=m.encode)
+        pf, st = make_generate_fns(m, cache_size=8)
+        t, s = beam_generate(gcfg, pf, st, p, prompt, aux=enc)
+        out[name] = (np.asarray(t), np.asarray(s))
+    np.testing.assert_array_equal(out["loop"][0], out["scan"][0])
+    np.testing.assert_allclose(out["loop"][1], out["scan"][1],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_scan_int8_parity():
+    """3D stacked kernels quantize per layer (scale [L, N]); the scanned
+    int8 decode matches the looped int8 decode exactly (same rounding)."""
+    from unilm_tpu.models.kosmos import (
+        UniGPT, UniGPTConfig, make_unigpt_generate_fns, stack_unigpt_params)
+    from unilm_tpu.ops.quant import quantize_dense_tree
+
+    kw = dict(vocab_size=97, embed_dim=32, num_layers=3, num_heads=4,
+              ffn_dim=64, max_positions=128, use_flash=False)
+    _PROJ = {"q_proj", "k_proj", "v_proj", "out_proj", "fc1", "fc2", "fc3"}
+
+    def pred(pth):
+        return pth[-2] in _PROJ and any(s.startswith("layers") for s in pth)
+
+    m_loop = UniGPT(UniGPTConfig(quant_weights=True, **kw))
+    m_scan = UniGPT(UniGPTConfig(quant_weights=True, scan_layers=True, **kw))
+    B, P, cache = 2, 4, 16
+    prompt = jax.random.randint(jax.random.PRNGKey(0), (B, P), 4, 90)
+    p_fp = UniGPT(UniGPTConfig(**kw)).init(jax.random.PRNGKey(1), prompt)["params"]
+    p_loop = quantize_dense_tree(dict(p_fp), predicate=pred)
+    p_scan = quantize_dense_tree(stack_unigpt_params(dict(p_fp), 3),
+                                 predicate=pred)
+
+    logits = {}
+    caches = {}
+    for name, m, p in (("loop", m_loop, p_loop), ("scan", m_scan, p_scan)):
+        pf, st = make_unigpt_generate_fns(m, cache_size=cache)
+        lg, c = pf(p, prompt, None)
+        logits[name] = np.asarray(lg)
+        caches[name] = c
+    np.testing.assert_allclose(logits["loop"], logits["scan"],
+                               rtol=1e-5, atol=1e-5)
+    for name, m, p in (("loop", m_loop, p_loop), ("scan", m_scan, p_scan)):
+        pf, st = make_unigpt_generate_fns(m, cache_size=cache)
+        lg, _ = st(p, prompt[:, -1:], caches[name], None)
+        logits[name] = np.asarray(lg)
+    np.testing.assert_allclose(logits["loop"], logits["scan"],
+                               rtol=1e-5, atol=1e-5)

@@ -8,6 +8,10 @@ and WER.
   python -m unilm_tpu.cli.trocr_eval --synthetic --tiny            # smoke
   python -m unilm_tpu.cli.trocr_eval --sroie /data/sroie_task2
   python -m unilm_tpu.cli.trocr_eval --gt /data/iam/gt_test.txt
+  python -m unilm_tpu.cli.trocr_eval --gt gt.txt --spm unilm3.model
+  # --spm: target side through the NATIVE sentencepiece reader
+  # (data/spm.py), the reference's unilm3-cased spm text path — fully
+  # offline, no sentencepiece wheel.
 """
 
 from __future__ import annotations
@@ -42,6 +46,9 @@ def main(argv=None):
     p.add_argument("--max-new-tokens", type=int, default=24)
     p.add_argument("--beam", type=int, default=1)
     p.add_argument("--checkpoint", default="")
+    p.add_argument("--spm", default="",
+                   help="sentencepiece .model for the target side (native "
+                        "reader; the reference's unilm3-cased path)")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--limit", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
@@ -59,7 +66,12 @@ def main(argv=None):
     if args.limit:
         data = data[: args.limit]
 
-    tok = CharTokenizer()
+    if args.spm:
+        from unilm_tpu.data.trocr_datasets import spm_tokenizer
+
+        tok = spm_tokenizer(args.spm)
+    else:
+        tok = CharTokenizer()
     kw = dict(img_size=args.img_size, vocab_size=tok.vocab_size)
     if args.tiny:
         kw.update(
@@ -107,7 +119,9 @@ def main(argv=None):
             if tok.eos in ids:
                 ids = ids[: ids.index(tok.eos)]
             hyps.append(tok.decode(ids))
-            refs.append(batch["texts"][bi].lower())
+            # CharTokenizer is a lowercase charset; spm models keep case
+            refs.append(batch["texts"][bi] if args.spm
+                        else batch["texts"][bi].lower())
 
     result = {
         "cer": round(cer(refs, hyps), 4),

@@ -49,6 +49,10 @@ class MultiheadAttention(nn.Module):
         causal: bool = False,
         mode: str = "train",  # train | prefill | decode
         cache_size: int = 0,
+        cache_pos: Optional[jax.Array] = None,  # scalar write offset owned
+        # by the CALLER (scan_layers path: one Decoder-level counter instead
+        # of a per-layer scalar, which nn.scan's axis-1 cache stacking
+        # cannot represent). None = this module owns its own counter.
         split_mask: Optional[jax.Array] = None,  # multiway modality mask
         deterministic: bool = True,
     ) -> jax.Array:
@@ -164,14 +168,19 @@ class MultiheadAttention(nn.Module):
             cv = self.variable(
                 "cache", "cached_value", jnp.zeros, (B, cache_size, H, D), cfg.dtype
             )
-            idx = self.variable("cache", "cache_index", lambda: jnp.zeros((), jnp.int32))
-            start = jnp.zeros((), jnp.int32) if mode == "prefill" else idx.value
+            if cache_pos is not None:
+                start = cache_pos
+            else:
+                idx = self.variable(
+                    "cache", "cache_index", lambda: jnp.zeros((), jnp.int32))
+                start = jnp.zeros((), jnp.int32) if mode == "prefill" else idx.value
             if self.use_xpos:
                 q, k_new = self._apply_xpos_positions(q, k_new, start)
             ck.value = jax.lax.dynamic_update_slice(ck.value, k_new, (0, start, 0, 0))
             cv.value = jax.lax.dynamic_update_slice(cv.value, v_new, (0, start, 0, 0))
             new_len = start + T
-            idx.value = new_len
+            if cache_pos is None:
+                idx.value = new_len
             k, v = ck.value, cv.value
             q_offset = start
             kv_len = new_len

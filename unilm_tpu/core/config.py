@@ -90,6 +90,15 @@ class TransformerConfig:
     quant_weights: bool = False  # int8 weight-only projections (serving/
     # decode; conversion-only — see ops/quant.py). The reference serves in
     # fp16 (kosmos-2.5/inference.py:132); this halves the decode HBM stream.
+    scan_layers: bool = False  # run the homogeneous layer stack as ONE
+    # lax.scan over axis-0-stacked per-layer params instead of a Python
+    # loop. Decode-path dispatch killer: a 24-layer bs=1 decode step is
+    # 600+ tiny ops when unrolled (per-op scheduling gaps dominate the
+    # weight-stream roofline); scanned, XLA compiles ONE loop body.
+    # Requires uniform layers: moe_freq == 0 and drop_path_rate == 0.
+    # Param tree: `layers` stacked on axis 0 (convert a looped tree with
+    # core.transformer.stack_layer_params). Cache leaves stack on AXIS 1
+    # ([B, L, S, H, D]) so generation's batch-axis beam gather is unchanged.
 
     # --- compute dtypes ----------------------------------------------------------
     dtype: Any = jnp.float32  # activation dtype (bf16 for perf)

@@ -150,6 +150,97 @@ class EncoderLayer(nn.Module):
         return x
 
 
+def _decoder_layer_body(
+    mdl: nn.Module,
+    cfg: TransformerConfig,
+    layer_idx: int,
+    drop_path: float,
+    has_cross_attention: bool,
+    alpha: float,
+    x: jax.Array,
+    encoder_out: Optional[jax.Array],
+    self_key_padding_mask: Optional[jax.Array],
+    encoder_padding_mask: Optional[jax.Array],
+    self_attn_bias: Optional[jax.Array],
+    cross_attn_bias: Optional[jax.Array],
+    causal: bool,
+    mode: str,
+    cache_size: int,
+    cache_pos: Optional[jax.Array],
+    deterministic: bool,
+) -> jax.Array:
+    """One decoder layer (torchscale decoder.py:22-208). Shared by the
+    looped DecoderLayer and the scanned adapter so both build IDENTICAL
+    param subtrees (self_attn / encoder_attn / ffn / *_layer_norm) directly
+    under the calling module."""
+    dp = DropPath(drop_path, name="drop_path") if drop_path > 0 else None
+
+    def _mln(name):
+        # submodules attach to `mdl` (the caller is inside its compact scope)
+        return make_norm(cfg, name)
+
+    # --- causal self attention ------------------------------------------
+    residual = x
+    if cfg.normalize_before:
+        x = _mln("self_attn_layer_norm")(x)
+    x = MultiheadAttention(
+        cfg, self_attention=True, use_xpos=cfg.xpos_rel_pos, name="self_attn"
+    )(
+        x,
+        key_padding_mask=self_key_padding_mask,
+        attn_bias=self_attn_bias,
+        causal=causal,
+        mode=mode,
+        cache_size=cache_size,
+        cache_pos=cache_pos,
+        deterministic=deterministic,
+    )
+    x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
+    if dp:
+        x = dp(x, deterministic=deterministic)
+    x = residual * alpha + x
+    if not cfg.normalize_before:
+        x = _mln("self_attn_layer_norm")(x)
+
+    # --- cross attention ---------------------------------------------------
+    if has_cross_attention:
+        residual = x
+        if cfg.normalize_before:
+            x = _mln("encoder_attn_layer_norm")(x)
+        x = MultiheadAttention(
+            cfg, self_attention=False, use_xpos=cfg.xpos_rel_pos, name="encoder_attn"
+        )(
+            x,
+            key=encoder_out,
+            key_padding_mask=encoder_padding_mask,
+            attn_bias=cross_attn_bias,
+            mode=mode,
+            deterministic=deterministic,
+        )
+        x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
+        if dp:
+            x = dp(x, deterministic=deterministic)
+        x = residual * alpha + x
+        if not cfg.normalize_before:
+            x = _mln("encoder_attn_layer_norm")(x)
+
+    # --- ffn / moe -----------------------------------------------------------
+    ffn, is_moe = _build_ffn(cfg, layer_idx)
+    residual = x
+    if cfg.normalize_before:
+        x = _mln("final_layer_norm")(x)
+    x = ffn(x, deterministic=deterministic)
+    if isinstance(x, tuple):
+        x, aux = x
+        mdl.sow("losses", "moe_aux", aux)
+    if dp:
+        x = dp(x, deterministic=deterministic)
+    x = residual * alpha + x
+    if not cfg.normalize_before:
+        x = _mln("final_layer_norm")(x)
+    return x
+
+
 class DecoderLayer(nn.Module):
     """torchscale DecoderLayer (decoder.py:22-208)."""
 
@@ -172,70 +263,65 @@ class DecoderLayer(nn.Module):
         causal: bool = True,
         mode: str = "train",
         cache_size: int = 0,
+        cache_pos: Optional[jax.Array] = None,
         deterministic: bool = True,
     ) -> jax.Array:
-        cfg = self.cfg
-        dp = DropPath(self.drop_path, name="drop_path") if self.drop_path > 0 else None
-
-        # --- causal self attention ------------------------------------------
-        residual = x
-        if cfg.normalize_before:
-            x = _ln(cfg, "self_attn_layer_norm")(x)
-        x = MultiheadAttention(
-            cfg, self_attention=True, use_xpos=cfg.xpos_rel_pos, name="self_attn"
-        )(
-            x,
-            key_padding_mask=self_key_padding_mask,
-            attn_bias=self_attn_bias,
-            causal=causal,
-            mode=mode,
-            cache_size=cache_size,
-            deterministic=deterministic,
+        return _decoder_layer_body(
+            self, self.cfg, self.layer_idx, self.drop_path,
+            self.has_cross_attention, self.alpha,
+            x, encoder_out, self_key_padding_mask, encoder_padding_mask,
+            self_attn_bias, cross_attn_bias, causal, mode, cache_size,
+            cache_pos, deterministic,
         )
-        x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
-        if dp:
-            x = dp(x, deterministic=deterministic)
-        x = residual * self.alpha + x
-        if not cfg.normalize_before:
-            x = _ln(cfg, "self_attn_layer_norm")(x)
 
-        # --- cross attention ---------------------------------------------------
-        if self.has_cross_attention:
-            residual = x
-            if cfg.normalize_before:
-                x = _ln(cfg, "encoder_attn_layer_norm")(x)
-            x = MultiheadAttention(
-                cfg, self_attention=False, use_xpos=cfg.xpos_rel_pos, name="encoder_attn"
-            )(
-                x,
-                key=encoder_out,
-                key_padding_mask=encoder_padding_mask,
-                attn_bias=cross_attn_bias,
-                mode=mode,
-                deterministic=deterministic,
-            )
-            x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
-            if dp:
-                x = dp(x, deterministic=deterministic)
-            x = residual * self.alpha + x
-            if not cfg.normalize_before:
-                x = _ln(cfg, "encoder_attn_layer_norm")(x)
 
-        # --- ffn / moe -----------------------------------------------------------
-        ffn, is_moe = _build_ffn(cfg, self.layer_idx)
-        residual = x
-        if cfg.normalize_before:
-            x = _ln(cfg, "final_layer_norm")(x)
-        x = ffn(x, deterministic=deterministic)
-        if isinstance(x, tuple):
-            x, aux = x
-            self.sow("losses", "moe_aux", aux)
-        if dp:
-            x = dp(x, deterministic=deterministic)
-        x = residual * self.alpha + x
-        if not cfg.normalize_before:
-            x = _ln(cfg, "final_layer_norm")(x)
-        return x
+class _ScanDecoderLayer(nn.Module):
+    """nn.scan body: one homogeneous decoder layer, positional traced inputs
+    (nn.scan silently DROPS call kwargs), static flags as attributes.
+    Builds the same param subtree as DecoderLayer so a looped checkpoint
+    stacks straight in (stack_layer_params)."""
+
+    cfg: TransformerConfig
+    has_cross_attention: bool = False
+    alpha: float = 1.0
+    causal: bool = True
+    mode: str = "train"
+    cache_size: int = 0
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, x, encoder_out, self_key_padding_mask,
+                 encoder_padding_mask, self_attn_bias, cross_attn_bias,
+                 cache_pos):
+        y = _decoder_layer_body(
+            self, self.cfg, 0, 0.0, self.has_cross_attention, self.alpha,
+            x, encoder_out, self_key_padding_mask, encoder_padding_mask,
+            self_attn_bias, cross_attn_bias, self.causal, self.mode,
+            self.cache_size, cache_pos, self.deterministic,
+        )
+        return y, None
+
+
+def stack_layer_params(params: dict, num_layers: int, prefix: str = "layers_",
+                       out_key: str = "layers") -> dict:
+    """Convert a looped param (sub)tree {layers_0: t0, ...} into the
+    scan_layers form {layers: stacked-on-axis-0}. Non-layer keys pass
+    through. Works on any collection with the same naming (e.g. a decoder's
+    'cache' tree is NOT converted — caches are created fresh by prefill)."""
+    rest = {k: v for k, v in params.items() if not k.startswith(prefix)}
+    trees = [params[f"{prefix}{i}"] for i in range(num_layers)]
+    rest[out_key] = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *trees)
+    return rest
+
+
+def unstack_layer_params(params: dict, num_layers: int, key: str = "layers",
+                         prefix: str = "layers_") -> dict:
+    """Inverse of stack_layer_params (scanned checkpoint -> looped tree)."""
+    rest = {k: v for k, v in params.items() if k != key}
+    stacked = params[key]
+    for i in range(num_layers):
+        rest[f"{prefix}{i}"] = jax.tree.map(lambda x: x[i], stacked)
+    return rest
 
 
 class Encoder(nn.Module):
@@ -369,6 +455,45 @@ class Decoder(nn.Module):
                 rel_bias = rel(x.shape[1], cache_size, step=idx.value)
                 self_attn_bias = rel_bias if self_attn_bias is None else self_attn_bias + rel_bias
                 idx.value = idx.value + x.shape[1]
+
+        if cfg.scan_layers:
+            # Dispatch-free stack: ONE lax.scan over axis-0-stacked params.
+            # A 24-layer bs=1 decode step unrolled is 600+ tiny ops whose
+            # per-op scheduling gaps (~1.9 ms measured on v5e) dominate the
+            # weight-stream roofline; scanned, XLA compiles one loop body.
+            assert cfg.moe_freq == 0, "scan_layers requires dense layers"
+            assert cfg.drop_path_rate == 0.0, (
+                "scan_layers requires a uniform stack (no per-layer "
+                "stochastic-depth schedule)")
+            cache_pos = jnp.zeros((), jnp.int32)
+            if mode != "train":
+                # ONE stack-level counter replaces 24 per-layer scalars
+                # (axis-1 cache stacking cannot represent 0-dim leaves)
+                idx = self.variable(
+                    "cache", "cache_index", lambda: jnp.zeros((), jnp.int32))
+                cache_pos = (jnp.zeros((), jnp.int32) if mode == "prefill"
+                             else idx.value)
+                idx.value = cache_pos + x.shape[1]
+            body_cls = _ScanDecoderLayer
+            if cfg.remat and mode == "train":
+                body_cls = nn.remat(
+                    body_cls, policy=_remat_policy(cfg), prevent_cse=False)
+            scan_cls = nn.scan(
+                body_cls,
+                variable_axes={"params": 0, "cache": 1},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=nn.broadcast,
+                length=cfg.num_layers,
+            )
+            x, _ = scan_cls(
+                cfg, has_cross_attention=self.has_cross_attention, alpha=alpha,
+                causal=causal, mode=mode, cache_size=cache_size,
+                deterministic=deterministic, name="layers",
+            )(x, encoder_out, self_key_padding_mask, encoder_padding_mask,
+              self_attn_bias, None, cache_pos)
+            if cfg.normalize_before:
+                x = _ln(cfg, "layer_norm")(x)
+            return x
 
         dpr = list(np.linspace(0, cfg.drop_path_rate, cfg.num_layers))
         for i in range(cfg.num_layers):

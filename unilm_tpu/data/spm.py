@@ -266,19 +266,65 @@ class SentencePieceModel:
                 byte_run.append(int(piece[3:5], 16))
                 continue
             flush()
-            if typ in (CONTROL, UNKNOWN):
+            if typ == CONTROL:
+                continue
+            if typ == UNKNOWN:
+                # sentencepiece renders unk as its surface (default ' ⁇ ')
+                out.append(" ⁇ ")
                 continue
             out.append(piece)
         flush()
         text = "".join(out)
         if self.escape_ws:
             text = text.replace(WS, " ")
-        return text.lstrip(" ") if self.add_dummy_prefix else text
+        if self.add_dummy_prefix and text.startswith(" "):
+            # strip exactly the one dummy-prefix space (not all leading ws:
+            # byte-decoded leading whitespace must survive)
+            text = text[1:]
+        return text
 
 
 def _signed(v: int) -> int:
     """Protobuf int32 varints encode negatives as 64-bit two's complement."""
     return v - (1 << 64) if v >= (1 << 63) else v
+
+
+class SpmTokenizer:
+    """bos/eos/pad-style tokenizer adapter over SentencePieceModel.
+
+    The drop-in interface the OCR/LM pipelines consume (the shape of
+    data/trocr_datasets.CharTokenizer): `.bos/.eos/.pad/.vocab_size`,
+    `encode(text) -> ids` (no specials), `decode(ids) -> text` (specials
+    stripped). This is the native stand-in for the reference's
+    sentencepiece runtime on TrOCR's `unilm3-cased` text path
+    (trocr/task.py, trocr/README.md:98) and kosmos-2's SpmLmLoader
+    (kosmos-2/unilm/data/lm_loader.py:19) — the env has no sentencepiece
+    wheel, so this is what lets those loops run fully offline.
+
+    When the model declares no pad (pad_id=-1, the spm default), `pad`
+    falls back to `unk`; decode() strips bos/eos/pad, so in that case unk
+    ids are stripped too rather than rendered as ' ⁇ '.
+    """
+
+    def __init__(self, model: "SentencePieceModel"):
+        self.spm = model
+        self.bos = model.bos_id
+        self.eos = model.eos_id
+        self.pad = model.pad_id if model.pad_id >= 0 else model.unk_id
+        self.unk = model.unk_id
+        self.vocab_size = model.vocab_size
+
+    @classmethod
+    def from_file(cls, path: str) -> "SpmTokenizer":
+        return cls(SentencePieceModel.from_file(path))
+
+    def encode(self, text: str) -> List[int]:
+        return self.spm.encode(text)
+
+    def decode(self, ids: Iterable[int]) -> str:
+        keep = [int(i) for i in ids
+                if int(i) not in (self.bos, self.eos, self.pad)]
+        return self.spm.decode(keep)
 
 
 # ---------------------------------------------------------------------- #

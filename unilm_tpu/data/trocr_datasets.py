@@ -111,9 +111,22 @@ def synthetic_ocr_dataset(
     return out
 
 
+def spm_tokenizer(model_path: str):
+    """The reference TrOCR text path: a sentencepiece model (`unilm3-cased`,
+    trocr/task.py + trocr/README.md:98) loaded through the NATIVE reader —
+    no sentencepiece wheel needed. Returns a data/spm.SpmTokenizer with the
+    same interface as CharTokenizer, so `ocr_batches` and the eval CLI run
+    the full dataset->collate->decode->CER loop offline
+    (cli/trocr_eval.py --spm <model>)."""
+    from unilm_tpu.data.spm import SpmTokenizer
+
+    return SpmTokenizer.from_file(model_path)
+
+
 class CharTokenizer:
     """Minimal char-level target vocabulary (tests / synthetic runs); real
-    checkpoints use the HF/sentencepiece tokenizer via convert/trocr.py."""
+    checkpoints use spm_tokenizer (native spm) or the HF tokenizer via
+    convert/trocr.py."""
 
     def __init__(self, charset: str = "0123456789abcdefghijklmnopqrstuvwxyz "):
         self.bos, self.eos, self.pad = 0, 1, 2

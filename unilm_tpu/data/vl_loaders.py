@@ -49,13 +49,25 @@ class VLTokenizer:
 
     ids [0, text_vocab) are the text tokenizer's; specials and the
     quantized-grid location tokens <patch_index_0000>.. live above it.
-    Falls back to byte-level tokenization when tiktoken is unavailable.
+
+    Backends: 'tiktoken' (cl100k, the kosmos-2.5 tokenizer), 'spm' — a
+    sentencepiece model through the NATIVE reader (data/spm.py), which is
+    the kosmos-2 SpmLmLoader text path (unilm/data/lm_loader.py:19; its
+    dict is an spm model + specials appended, unilm/data/utils.py:25-34) —
+    or byte-level fallback when tiktoken is unavailable ('auto').
     """
 
-    def __init__(self, quantized_size: int = 32, backend: str = "auto"):
+    def __init__(self, quantized_size: int = 32, backend: str = "auto",
+                 spm_path: Optional[str] = None):
         self.quantized_size = quantized_size
         self._enc = None
-        if backend in ("auto", "tiktoken"):
+        self._spm = None
+        if backend == "spm" or (backend == "auto" and spm_path):
+            from unilm_tpu.data.spm import SentencePieceModel
+
+            assert spm_path, "backend='spm' requires spm_path"
+            self._spm = SentencePieceModel.from_file(spm_path)
+        elif backend in ("auto", "tiktoken"):
             try:
                 import tiktoken
 
@@ -63,7 +75,10 @@ class VLTokenizer:
             except Exception:
                 if backend == "tiktoken":
                     raise
-        self.text_vocab = self._enc.n_vocab if self._enc else 256
+        self.text_vocab = (
+            self._spm.vocab_size if self._spm
+            else self._enc.n_vocab if self._enc else 256
+        )
         self.special_to_id = {
             s: self.text_vocab + i for i, s in enumerate(SPECIAL_TOKENS)
         }
@@ -78,12 +93,16 @@ class VLTokenizer:
         return self.loc_base + cell
 
     def encode_text(self, text: str) -> List[int]:
+        if self._spm:
+            return self._spm.encode(text)
         if self._enc:
             return self._enc.encode(text, disallowed_special=())
         return list(text.encode("utf-8"))
 
     def decode_text(self, ids: Sequence[int]) -> str:
         ids = [i for i in ids if i < self.text_vocab]
+        if self._spm:
+            return self._spm.decode(ids)
         if self._enc:
             return self._enc.decode(ids)
         return bytes(ids).decode("utf-8", errors="replace")

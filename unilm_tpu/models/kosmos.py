@@ -252,6 +252,9 @@ class UniGPTConfig:
     use_flash: bool = True
     quant_weights: bool = False  # int8 weight-only decoder projections
     # (serving/decode; ops/quant.py — conversion-only, see ServingEngine)
+    scan_layers: bool = False  # lax.scan the decoder stack over stacked
+    # params (decode dispatch killer — core/config.py scan_layers). Convert
+    # a looped checkpoint with models.kosmos.stack_unigpt_params.
 
     def decoder_cfg(self) -> TransformerConfig:
         return TransformerConfig(
@@ -270,6 +273,7 @@ class UniGPTConfig:
             remat_policy=self.remat_policy,
             dtype=self.dtype, param_dtype=self.param_dtype,
             use_flash=self.use_flash, quant_weights=self.quant_weights,
+            scan_layers=self.scan_layers,
         )
 
 
@@ -493,6 +497,17 @@ class UniGPT(nn.Module):
 
     def encode_audio(self, aud_inputs, deterministic: bool = True):
         return self.get_audio_representation(aud_inputs, deterministic)
+
+
+def stack_unigpt_params(params: dict, num_layers: int) -> dict:
+    """Convert a looped UniGPT param tree (decoder/layers_i) to the
+    scan_layers form (decoder/layers stacked on axis 0). Towers and
+    embeddings pass through untouched; only the TEXT decoder stack scans."""
+    from unilm_tpu.core.transformer import stack_layer_params
+
+    out = dict(params)
+    out["decoder"] = stack_layer_params(dict(params["decoder"]), num_layers)
+    return out
 
 
 def make_unigpt_generate_fns(model: UniGPT, cache_size: int):

@@ -55,6 +55,9 @@ class TrOCRConfig:
     enc_to_dec_proj: bool = False  # HF VisionEncoderDecoder dim-bridge
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = True
+    scan_layers: bool = False  # scan the DECODER stack (decode dispatch
+    # killer — core/config.py scan_layers); the encoder keeps its loop
+    # (one big prefill call, dispatch already amortized)
 
     def encoder_cfg(self) -> TransformerConfig:
         return TransformerConfig(
@@ -70,6 +73,7 @@ class TrOCRConfig:
             normalize_before=self.normalize_before, layernorm_eps=self.dec_eps,
             activation=self.activation, is_encoder_decoder=True,
             dtype=self.dtype, use_flash=self.use_flash, dropout=self.dropout,
+            scan_layers=self.scan_layers,
         )
 
     @property
@@ -206,6 +210,18 @@ class TrOCRModel(nn.Module):
         enc = self.encode(images, deterministic)
         return self.text_decoder(prev_tokens, enc, deterministic=deterministic,
                                  return_features=return_features)
+
+
+def stack_trocr_params(params: dict, num_layers: int) -> dict:
+    """Looped TrOCR tree -> scan_layers tree (text_decoder/decoder/layers
+    stacked on axis 0); the ViT encoder keeps its loop."""
+    from unilm_tpu.core.transformer import stack_layer_params
+
+    out = dict(params)
+    td = dict(out["text_decoder"])
+    td["decoder"] = stack_layer_params(dict(td["decoder"]), num_layers)
+    out["text_decoder"] = td
+    return out
 
 
 def make_generate_fns(model: TrOCRModel, cache_size: int):

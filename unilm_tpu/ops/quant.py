@@ -215,7 +215,10 @@ class QuantDense(nn.Module):
 
 def quantize_dense_tree(params, predicate=None):
     """Replace every 2D `kernel` leaf with `kernel_i8` + `scale` (per-output-
-    channel), leaving biases and everything else untouched.
+    channel), leaving biases and everything else untouched. 3D kernels
+    [L, K, N] (scan_layers stacked trees) quantize per layer per output
+    channel — scale [L, N] — so nn.scan's axis-0 slice hands QuantDense its
+    expected ([K, N] int8, [N] f32) pair.
 
     `predicate(path_tuple)` can restrict which modules are quantized (e.g.
     only the decoder layers, keeping embeddings full-precision).
@@ -230,10 +233,10 @@ def quantize_dense_tree(params, predicate=None):
             if (
                 k == "kernel"
                 and hasattr(v, "ndim")
-                and v.ndim == 2
+                and v.ndim in (2, 3)
                 and (predicate is None or predicate(p))
             ):
-                wi, scale = quantize_int8(v, axis=0)
+                wi, scale = quantize_int8(v, axis=v.ndim - 2)
                 out["kernel_i8"] = wi
                 out["scale"] = scale
             else:
