@@ -81,15 +81,25 @@ def bench_ttft(on_tpu: bool):
     )(jax.random.PRNGKey(1))
     jax.block_until_ready(params)
 
+    # Amortize the axon tunnel round-trip INSIDE one jit (INNER TTFT
+    # computations per host call) instead of subtracting the raw 30 ms
+    # constant from a single measurement — a +-10 ms error in the constant
+    # now moves the result by ~10/INNER ms (round-4 advisor finding).
+    INNER = 4 if on_tpu else 1
+
     @jax.jit
     def ttft(params, patches, tokens, img_mask, segs):
-        feats = model.apply({"params": params}, patches,
-                            method=model.encode_image)
-        logits, _ = model.apply(
-            {"params": params}, tokens, cache, feats, img_mask, segs, True,
-            method=model.prefill, mutable=["cache"],
-        )
-        return logits[:, -1].astype(jnp.float32).sum()
+        def one(i, acc):
+            feats = model.apply(
+                {"params": params}, patches + (acc * 0.0).astype(patches.dtype),
+                method=model.encode_image)
+            logits, _ = model.apply(
+                {"params": params}, tokens, cache, feats, img_mask, segs,
+                True, method=model.prefill, mutable=["cache"],
+            )
+            return acc + logits[:, -1].astype(jnp.float32).sum()
+
+        return jax.lax.fori_loop(0, INNER, one, 0.0)
 
     float(ttft(params, patches, tokens, img_mask, segs))  # compile
     times = []
@@ -99,12 +109,183 @@ def bench_ttft(on_tpu: bool):
         times.append(time.time() - t0)
     med = statistics.median(times)
     if on_tpu:
-        med = max(med - 0.030, 1e-6)  # axon tunnel round-trip
+        med = max(med - 0.030, 1e-6)  # tunnel round-trip (amortized /INNER)
+    med = med / INNER
     out = {
         "metric": "Kosmos-2.5 p50 TTFT (bs=1)",
         "value": round(med * 1e3, 1),
         "unit": "ms",
         "vs_baseline": round(TTFT_TARGET_MS / (med * 1e3), 3),
+    }
+    if not on_tpu:
+        out["smoke"] = True
+    print(json.dumps(out), flush=True)
+
+
+DECODE_TARGET_MS = 2.5  # interactive bs=1 decode target (ms/token):
+# int8 weight stream (~0.83 ms) + bf16 lm head/KV reads + step overhead on
+# one v5e; vs_baseline > 1 means faster than target.
+SERVING_BASELINE_TOK_S = 1460.0  # round-1 self-reported engine decode
+# number this line AUDITS (B=8, ctx 2048, int8 KV, contiguous-run kernel).
+
+
+def bench_decode(on_tpu: bool):
+    """Line 4 — Kosmos-2.5 bs=1 interactive decode (ms/token) after a
+    2053-token multimodal prefill: the reference's inference.py decode loop
+    (kosmos-2.5/inference.py:332, steps 1..N of §3.4). Headline config =
+    scanned layer stack (ONE lax.scan over stacked params, slab-streaming
+    kv_len-bounded decode kernel) + int8 weight-only projections + int8 LM
+    head (benchmarks/kosmos_ttft.py --int8)."""
+    import dataclasses
+
+    from unilm_tpu.models.kosmos import (UniGPT, UniGPTConfig, kosmos2_5,
+                                         make_unigpt_generate_fns,
+                                         quantize_lm_head)
+    from unilm_tpu.ops.quant import quantize_dense_tree
+
+    if on_tpu:
+        T, steps, iters = 2052, 32, 5
+        cfg = kosmos2_5(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
+                        image_tower=None, scan_layers=True)
+    else:
+        T, steps, iters = 8, 4, 2
+        cfg = UniGPTConfig(vocab_size=256, embed_dim=64, num_layers=2,
+                           num_heads=4, ffn_dim=128, max_positions=64,
+                           use_flash=False, scan_layers=True)
+    model = UniGPT(cfg)
+    cache = T + (4000 if on_tpu else 16)
+    tokens = jnp.full((1, T), 4, jnp.int32)
+    params = jax.jit(lambda r: model.init(r, tokens)["params"])(
+        jax.random.PRNGKey(1))
+    jax.block_until_ready(params)
+    _PROJ = {"q_proj", "k_proj", "v_proj", "out_proj", "fc1", "fc2", "fc3"}
+    params = quantize_dense_tree(
+        params, predicate=lambda p: p[-2] in _PROJ and any(
+            s.startswith("layers") for s in p))
+    params = quantize_lm_head(params)
+    cfg = dataclasses.replace(cfg, quant_weights=True, quant_lm_head=True)
+    model = UniGPT(cfg)
+    prefill, step = make_unigpt_generate_fns(model, cache_size=cache)
+
+    def decode_loop(params, cache_state, tok):
+        def body(i, carry):
+            tok, cache_state, acc = carry
+            logits, cache_state = step(params, tok, cache_state, None)
+            nxt = jnp.argmax(logits[:, -1:], -1).astype(jnp.int32)
+            return (nxt, cache_state, acc + logits.astype(jnp.float32).sum())
+
+        _, _, acc = jax.lax.fori_loop(0, steps, body,
+                                      (tok, cache_state, 0.0))
+        return acc
+
+    _, cache_vars = prefill(params, tokens, None)
+    jd = jax.jit(decode_loop)
+    float(jd(params, cache_vars, tokens[:, -1:]))  # compile
+    times = []
+    for _ in range(iters):
+        t0 = time.time()
+        float(jd(params, cache_vars, tokens[:, -1:]))
+        times.append(time.time() - t0)
+    med = statistics.median(times)
+    if on_tpu:
+        med = max(med - 0.030, 1e-6)  # tunnel, amortized over `steps`
+    per_tok_ms = med / steps * 1e3
+    out = {
+        "metric": "Kosmos-2.5 bs=1 decode (int8, 2k ctx)",
+        "value": round(per_tok_ms, 2),
+        "unit": "ms/token",
+        "tok_s": round(1e3 / per_tok_ms, 1),
+        "vs_baseline": round(DECODE_TARGET_MS / per_tok_ms, 3),
+    }
+    if not on_tpu:
+        out["smoke"] = True
+    print(json.dumps(out), flush=True)
+
+
+def bench_serving(on_tpu: bool):
+    """Line 5 — serving engine decode throughput (tokens/sec) at the
+    standard config: 1.3B text decoder, B=8 continuous-batching slots,
+    ctx 2048, int8 KV pool, contiguous-run slab kernel
+    (benchmarks/serving_bench.py --paths run --kv int8). Audits the
+    round-1 self-reported 1,460 tok/s (vs_baseline = ours / 1460)."""
+    import numpy as np
+
+    from unilm_tpu.models.kosmos import UniGPT, UniGPTConfig, kosmos2_5
+    from unilm_tpu.runtime.serving import PagedGPT
+
+    if on_tpu:
+        B, ctx, steps, page, iters = 8, 2048, 32, 64, 5
+        cfg = kosmos2_5(dtype=jnp.bfloat16, image_tower=None)
+    else:
+        B, ctx, steps, page, iters = 2, 32, 4, 16, 2
+        cfg = UniGPTConfig(vocab_size=256, embed_dim=64, num_layers=2,
+                           num_heads=4, ffn_dim=128, max_positions=64,
+                           use_flash=False)
+    model = UniGPT(cfg)
+    params = jax.jit(
+        lambda r: model.init(r, jnp.ones((1, 8), jnp.int32))["params"]
+    )(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    paged = PagedGPT(cfg)
+    H, D = cfg.num_heads, cfg.embed_dim // cfg.num_heads
+    chunk = 8
+    mp = -(-(ctx + steps) // page)
+    stride = -(-mp // chunk) * chunk
+    num_pages = chunk + B * stride + chunk
+    L = cfg.num_layers
+    quant = on_tpu
+    kv_dt = jnp.int8 if quant else cfg.dtype
+    k_pools = jnp.zeros((L * num_pages, page, H * D), kv_dt)
+    v_pools = jnp.zeros_like(k_pools)
+    scale_pool = (jnp.full((L * num_pages // chunk, 8, chunk * page), 0.01,
+                           jnp.float32) if quant else None)
+    bases_np = chunk + stride * np.arange(B, dtype=np.int32)
+    tables = jnp.asarray(bases_np[:, None] + np.arange(mp, dtype=np.int32))
+    bases = jnp.asarray(bases_np)
+    lengths0 = jnp.full((B,), ctx, jnp.int32)
+    tok0 = jnp.full((B, 1), 4, jnp.int32)
+
+    def loop(params, k_pools, v_pools, tok, lengths):
+        def body(i, carry):
+            tok, k_pools, v_pools, sp, lengths, acc = carry
+            res = paged.apply(
+                {"params": params}, tok, k_pools, v_pools, tables, lengths,
+                jnp.ones_like(lengths),
+                bases=bases if on_tpu else None,
+                scale_pool=sp if quant else None)
+            if quant:
+                logits, k_pools, v_pools, sp = res
+            else:
+                logits, k_pools, v_pools = res
+            nxt = jnp.argmax(
+                logits[:, -1].astype(jnp.float32), -1)[:, None].astype(jnp.int32)
+            return (nxt, k_pools, v_pools, sp, lengths + 1,
+                    acc + logits.astype(jnp.float32).sum())
+
+        _, _, _, _, _, acc = jax.lax.fori_loop(
+            0, steps, body,
+            (tok, k_pools, v_pools,
+             scale_pool if quant else jnp.zeros((), jnp.float32),
+             lengths, 0.0))
+        return acc
+
+    jl = jax.jit(loop)
+    float(jl(params, k_pools, v_pools, tok0, lengths0))  # compile
+    times = []
+    for _ in range(iters):
+        t0 = time.time()
+        float(jl(params, k_pools, v_pools, tok0, lengths0))
+        times.append(time.time() - t0)
+    med = statistics.median(times)
+    if on_tpu:
+        med = max(med - 0.030, 1e-6)
+    tok_s = B * steps / med
+    out = {
+        "metric": "Serving engine decode (B=8, int8 KV)",
+        "value": round(tok_s, 1),
+        "unit": "tokens/sec",
+        "step_ms": round(med / steps * 1e3, 2),
+        "vs_baseline": round(tok_s / SERVING_BASELINE_TOK_S, 3),
     }
     if not on_tpu:
         out["smoke"] = True
@@ -222,6 +403,36 @@ def main():
                     "value": None,
                     "unit": "ms",
                     "error": "ttft benchmark failed; see traceback above",
+                }
+            ),
+            flush=True,
+        )
+    try:
+        bench_decode(on_tpu)
+    except Exception:
+        traceback.print_exc()
+        print(
+            json.dumps(
+                {
+                    "metric": "Kosmos-2.5 bs=1 decode (int8, 2k ctx)",
+                    "value": None,
+                    "unit": "ms/token",
+                    "error": "decode benchmark failed; see traceback above",
+                }
+            ),
+            flush=True,
+        )
+    try:
+        bench_serving(on_tpu)
+    except Exception:
+        traceback.print_exc()
+        print(
+            json.dumps(
+                {
+                    "metric": "Serving engine decode (B=8, int8 KV)",
+                    "value": None,
+                    "unit": "tokens/sec",
+                    "error": "serving benchmark failed; see traceback above",
                 }
             ),
             flush=True,

@@ -87,6 +87,7 @@ def main():
     if args.int8:
         import dataclasses
 
+        from unilm_tpu.models.kosmos import quantize_lm_head
         from unilm_tpu.ops.quant import quantize_dense_tree
 
         _PROJ = {"q_proj", "k_proj", "v_proj", "out_proj", "fc1", "fc2", "fc3"}
@@ -95,7 +96,8 @@ def main():
             predicate=lambda pth: pth[-2] in _PROJ and any(
                 s.startswith("layers") for s in pth),
         )
-        cfg = dataclasses.replace(cfg, quant_weights=True)
+        params = quantize_lm_head(params)
+        cfg = dataclasses.replace(cfg, quant_weights=True, quant_lm_head=True)
         model = UniGPT(cfg)
         prefill, step = make_unigpt_generate_fns(model, cache_size=cache)
 

@@ -98,8 +98,11 @@ def test_scan_parity_relpos_buckets():
 
 
 def test_scan_cache_leaves_batch_major():
-    """Cache KV leaves stack on axis 1 ([B, L, S, H, D]) so generation's
-    batch-axis beam gather (runtime.generate._gather_beams) is unchanged."""
+    """The scanned generation cache is a batch-LEADING page pool
+    ([B, L*PP, page, H*D]) so generation's batch-axis beam gather
+    (runtime.generate._gather_beams) is unchanged."""
+    from unilm_tpu.core.transformer import _scan_pool_geometry
+
     cfg = _mk_decoder_cfg(scan_layers=True)
     dec = Decoder(cfg)
     B, T, E = 2, 4, cfg.embed_dim
@@ -107,9 +110,9 @@ def test_scan_cache_leaves_batch_major():
     params = dec.init(jax.random.PRNGKey(0), x)["params"]
     _, vars_ = dec.apply({"params": params}, x, mode="prefill", cache_size=8,
                          mutable=["cache"])
-    kv = vars_["cache"]["layers"]["self_attn"]["cached_key"]
-    assert kv.shape == (B, cfg.num_layers, 8, cfg.num_heads,
-                        cfg.embed_dim // cfg.num_heads)
+    page, chunk, pp = _scan_pool_geometry(8)
+    kv = vars_["cache"]["kv_pool_key"]
+    assert kv.shape == (B, cfg.num_layers * pp, page, cfg.embed_dim)
     assert vars_["cache"]["cache_index"].shape == ()
 
 

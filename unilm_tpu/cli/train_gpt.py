@@ -129,6 +129,16 @@ def main(argv=None):
                         "(fairseq --moe-gate-loss-wt)")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--bf16", action="store_true", default=True)
+    # pipeline parallelism over the flagship decoder (the reference's
+    # --pipeline-model-parallel, fairseq/distributed/utils.py:153-243):
+    # layers split into S stages on a 'stage' mesh axis; leftover devices
+    # form an 'fsdp' axis (ZeRO-style last-dim param sharding, GSPMD-auto
+    # inside each stage). Text-only, dense layers (parallel/pipeline.py
+    # PipelineGPT scope notes).
+    p.add_argument("--pp_stages", type=int, default=0,
+                   help="pipeline stages (0 = off)")
+    p.add_argument("--pp_microbatches", type=int, default=0,
+                   help="GPipe microbatches (default: 2*stages)")
     args = p.parse_args(argv)
 
     multimodal = bool(args.vl_data)
@@ -185,6 +195,27 @@ def main(argv=None):
         params = jax.jit(lambda r: model.init(r, dummy)["params"])(
             jax.random.PRNGKey(args.seed)
         )
+
+    pp = None
+    if args.pp_stages > 1:
+        assert not multimodal, "--pp_stages: text-only pretraining path"
+        assert args.moe_freq == 0, "--pp_stages: dense layers only (PP scope)"
+        from unilm_tpu.parallel import make_mesh
+        from unilm_tpu.parallel.pipeline import PipelineGPT
+
+        S = args.pp_stages
+        n_dev = jax.device_count()
+        assert n_dev % S == 0, f"{n_dev} devices not divisible by {S} stages"
+        fsdp = n_dev // S
+        mesh = make_mesh({"stage": S, "fsdp": fsdp} if fsdp > 1
+                         else {"stage": S})
+        M_pp = args.pp_microbatches or 2 * S
+        pp = PipelineGPT(cfg, num_stages=S, mesh=mesh,
+                         num_microbatches=M_pp, remat=args.remat,
+                         fsdp_axis="fsdp" if fsdp > 1 else None)
+        params = pp.from_unigpt(params)
+        params = jax.device_put(params, pp.shardings(params))
+        print(f"pipeline: {S} stages x {fsdp} fsdp, {M_pp} microbatches")
     n_params = sum(x.size for x in jax.tree.leaves(params))
     print(f"model: {n_params/1e6:.1f}M params, vocab {vocab}")
 
@@ -222,6 +253,12 @@ def main(argv=None):
             s, n = _ce(p, out[:, :-1], batch["tokens"][:, 1:],
                        batch["loss_mask"][:, 1:])
             return s / n + args.moe_gate_loss_wt * aux, {"ntok": n, **mstats}
+    elif pp is not None:
+        def loss_fn(p, batch, rng):
+            out = (pp.features(p, batch) if args.fused_ce
+                   else pp.logits(p, batch))
+            s, n = _ce(p, out[:, :-1], batch[:, 1:], None)
+            return s / n, {"ntok": n}
     else:
         def loss_fn(p, batch, rng):
             out, aux, mstats = _apply(p, batch, return_features=args.fused_ce)
@@ -272,6 +309,10 @@ def main(argv=None):
         if s % args.save_every == 0 or s >= args.max_steps:
             mgr.save(s, state, data_state=stream.getstate(),
                      metrics={"loss": loss})
+    # barrier the in-flight async save BEFORE main returns: the atexit wait
+    # can race interpreter shutdown (orbax schedules futures from its
+    # commit thread)
+    mgr.wait()
     print("done")
 
 

@@ -130,8 +130,13 @@ def make_dense(cfg: TransformerConfig, features: int, *, kernel_init, name: str)
     if cfg.quant_weights:
         from unilm_tpu.ops.quant import QuantDense
 
+        # Under a scanned stack the weight slice feeding a Pallas custom
+        # call gets MATERIALIZED by XLA (dynamic-slice can't fuse into a
+        # custom call: the int8 stream is paid twice — measured 439 vs
+        # 923 GB/s effective). The XLA dequant-dot fuses slice+convert+dot
+        # and runs at the int8 roofline, so scanned stacks use it.
         return QuantDense(features, use_bias=cfg.use_bias, dtype=cfg.dtype,
-                          name=name)
+                          use_kernel=not cfg.scan_layers, name=name)
     return nn.Dense(
         features, kernel_init=kernel_init, use_bias=cfg.use_bias,
         dtype=cfg.dtype, param_dtype=cfg.param_dtype, name=name,

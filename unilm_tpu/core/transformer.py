@@ -20,8 +20,11 @@ import numpy as np
 
 from unilm_tpu.core.attention import MultiheadAttention
 from unilm_tpu.core.config import TransformerConfig
-from unilm_tpu.core.layers import DropPath, FeedForward, LayerScale, make_norm
+from unilm_tpu.core.layers import (DropPath, FeedForward, LayerScale,
+                                   make_norm, scaled_init)
+from unilm_tpu.core import positional
 from unilm_tpu.core.positional import RelativePositionBias
+from unilm_tpu.ops.attention import attention, fa_on_tpu
 
 
 def _remat_policy(cfg: TransformerConfig):
@@ -276,10 +279,10 @@ class DecoderLayer(nn.Module):
 
 
 class _ScanDecoderLayer(nn.Module):
-    """nn.scan body: one homogeneous decoder layer, positional traced inputs
-    (nn.scan silently DROPS call kwargs), static flags as attributes.
-    Builds the same param subtree as DecoderLayer so a looped checkpoint
-    stacks straight in (stack_layer_params)."""
+    """nn.scan body (TRAIN mode): one homogeneous decoder layer, positional
+    traced inputs (nn.scan silently DROPS call kwargs), static flags as
+    attributes. Builds the same param subtree as DecoderLayer so a looped
+    checkpoint stacks straight in (stack_layer_params)."""
 
     cfg: TransformerConfig
     has_cross_attention: bool = False
@@ -300,6 +303,302 @@ class _ScanDecoderLayer(nn.Module):
             self.cache_size, cache_pos, self.deterministic,
         )
         return y, None
+
+
+# --------------------------------------------------------------------------- #
+# Scanned prefill/decode: carry-threaded KV page pool
+# --------------------------------------------------------------------------- #
+#
+# Why not flax scanned 'cache' variables (variable_axes={"cache": 1}) for
+# generation? Lifted-scan variables become scan xs/ys: every decode step
+# re-stacks the ENTIRE stacked KV cache through slice/update/stack copies —
+# measured 11.7 ms/tok vs 4.0 looped on the kosmos-2.5 bs=1 int8 config
+# (the cache-size sweep pinned it: 2.6 ms at cache=256 vs 11.7 at 6052).
+# Instead the pool is ONE Decoder-level variable threaded through the scan
+# CARRY: per-step writes are in-place row scatters on the loop-carried
+# buffer, and the decode read is the kv_len-bounded slab-streaming kernel
+# (ops/paged_attention._run_decode_kernel) — so a step reads only
+# ceil(len/slab) slabs, not the whole cache_size buffer (the looped XLA
+# path reads/masks all of it: ~0.9 GB/step at the kosmos cache=6052).
+#
+# Pool layout [B, L*PP, page, H*D]: batch-LEADING so generation's beam
+# gather (runtime.generate._gather_beams) works unchanged, H*D FLAT so the
+# slab tiles are lane-aligned (a [.., H, D] view lane-pads D; see
+# run_decode_append_attention). Layer i owns pages [i*PP, (i+1)*PP).
+
+
+def _scan_pool_geometry(cache_size: int):
+    """(page, chunk, pages_per_layer): PP chunk-aligned so every layer run
+    is slab-aligned. Long caches use 512-token slabs (64x8); short ones
+    (TrOCR's ~34-token beam decode) use 32-token slabs with page=16 — the
+    bf16 sublane minimum, so the slab kernel still applies and the decode
+    never falls back to the gather path (whose [.., H, D] head-split
+    relayout-copies the whole slab)."""
+    if cache_size >= 1024:
+        page, chunk = 64, 8
+    else:
+        page, chunk = 16, 2
+    pp = -(-cache_size // page)
+    pp = -(-pp // chunk) * chunk
+    return page, chunk, pp
+
+
+class _ScanSelfAttention(nn.Module):
+    """MultiheadAttention's scanned-generation twin: identical param names
+    (q/k/v/out_proj + inner_attn_ln), KV in the carry-threaded page pool.
+    The serving engine's PagedSelfAttention proved this param-mirror
+    pattern (runtime/serving.py)."""
+
+    cfg: TransformerConfig
+    mode: str = "decode"  # prefill | decode
+    causal: bool = True
+    use_xpos: bool = False
+    page: int = 64
+    chunk: int = 8
+    pages_per_layer: int = 0
+
+    @nn.compact
+    def __call__(self, x, k_pool, v_pool, li, start,
+                 key_padding_mask, attn_bias):
+        cfg = self.cfg
+        H, D, E = cfg.num_heads, cfg.head_dim, cfg.embed_dim
+        B, T = x.shape[0], x.shape[1]
+        PP, page = self.pages_per_layer, self.page
+
+        qk_init = scaled_init(nn.initializers.xavier_uniform(), 2**-0.5)
+        vo_scale = (1.0 / cfg.deepnorm_init_div) * cfg.subln_init_mul
+        v_init = scaled_init(nn.initializers.xavier_uniform(),
+                             (2**-0.5) * vo_scale)
+        o_init = scaled_init(nn.initializers.xavier_uniform(), vo_scale)
+        from unilm_tpu.core.layers import make_dense, make_norm
+
+        def proj(name, init):
+            return make_dense(cfg, H * D, kernel_init=init, name=name)
+
+        q = proj("q_proj", qk_init)(x).reshape(B, T, H, D)
+        k_new = proj("k_proj", qk_init)(x).reshape(B, T, H, D)
+        v_new = proj("v_proj", v_init)(x).reshape(B, T, H, D)
+
+        if self.use_xpos:
+            pos = start + jnp.arange(T)
+            sin, cos, xsc = positional.xpos_sin_cos_scale(
+                pos, jnp.zeros((), jnp.float32), D, cfg.xpos_scale_base)
+            q = positional.apply_xpos(
+                q.swapaxes(1, 2), sin, cos, xsc).swapaxes(1, 2)
+            k_new = positional.apply_xpos(
+                k_new.swapaxes(1, 2), sin, cos, 1.0 / xsc).swapaxes(1, 2)
+            qscale = positional.length_extrapolation_qscale(
+                pos, start + T, cfg.scale_length, jnp.float32)
+            q = (q * qscale[None, :, None, None]).astype(q.dtype)
+
+        scale = cfg.attn_scale if cfg.attn_scale is not None else D**-0.5
+
+        if self.mode == "prefill":
+            # one-shot prompt: the pool was empty (start == 0), so attention
+            # runs over the fresh K/V directly; rows land in the pool after.
+            # Decoder-level decode biases (T5 rel-pos) span cache_size keys;
+            # slice to the fresh-KV length.
+            if attn_bias is not None:
+                attn_bias = attn_bias[..., :T]
+            out = attention(
+                q, k_new, v_new, bias=attn_bias,
+                key_padding_mask=key_padding_mask, scale=scale,
+                causal=self.causal, use_flash=cfg.use_flash,
+                flash_block_q=cfg.flash_block_q,
+                flash_block_k=cfg.flash_block_k,
+            )
+            k_pool, v_pool = self._scatter_rows(
+                k_pool, v_pool, k_new, v_new, li, start)
+        else:
+            from unilm_tpu.ops.paged_attention import (
+                kernel_supported, run_decode_append_attention)
+
+            if (T == 1 and attn_bias is None and key_padding_mask is None
+                    and fa_on_tpu()
+                    and kernel_supported(H, D, page, k_pool.dtype)):
+                LPP = k_pool.shape[1]
+                kp3 = k_pool.reshape(B * LPP, page, H * D)
+                vp3 = v_pool.reshape(B * LPP, page, H * D)
+                bases = jnp.arange(B, dtype=jnp.int32) * LPP + li * PP
+                lengths = jnp.full((B,), start, jnp.int32)
+                out, kp3, vp3 = run_decode_append_attention(
+                    q, k_new, v_new, kp3, vp3, bases, lengths,
+                    max_pages=PP, scale=scale, chunk=self.chunk)
+                k_pool = kp3.reshape(k_pool.shape)
+                v_pool = vp3.reshape(v_pool.shape)
+            else:
+                # generic path (CPU tests, decode bias, GAD T>1 verify):
+                # scatter the rows, gather this layer's slab, masked attention
+                k_pool, v_pool = self._scatter_rows(
+                    k_pool, v_pool, k_new, v_new, li, start)
+                kk = jax.lax.dynamic_slice_in_dim(
+                    k_pool, li * PP, PP, axis=1).reshape(B, PP * page, H, D)
+                vv = jax.lax.dynamic_slice_in_dim(
+                    v_pool, li * PP, PP, axis=1).reshape(B, PP * page, H, D)
+                if attn_bias is not None:
+                    # bias spans cache_size keys; the pool is chunk-rounded
+                    # to PP*page. Pad with zeros (kv_len masks the tail).
+                    padn = PP * page - attn_bias.shape[-1]
+                    if padn > 0:
+                        attn_bias = jnp.pad(
+                            attn_bias, [(0, 0)] * (attn_bias.ndim - 1)
+                            + [(0, padn)])
+                    else:
+                        attn_bias = attn_bias[..., :PP * page]
+                out = attention(
+                    q, kk, vv, bias=attn_bias,
+                    key_padding_mask=key_padding_mask, scale=scale,
+                    causal=self.causal, q_offset=start, kv_len=start + T,
+                    use_flash=cfg.use_flash,
+                    flash_block_q=cfg.flash_block_q,
+                    flash_block_k=cfg.flash_block_k,
+                )
+
+        out = out.reshape(B, T, H * D)
+        if cfg.subln:
+            out = make_norm(cfg, "inner_attn_ln")(out)
+        out = make_dense(cfg, E, kernel_init=o_init, name="out_proj")(out)
+        return out, k_pool, v_pool
+
+    def _scatter_rows(self, k_pool, v_pool, k_new, v_new, li, start):
+        B, T, H, D = k_new.shape
+        pos = start + jnp.arange(T)
+        pids = li * self.pages_per_layer + pos // self.page  # [T]
+        offs = pos % self.page
+        k_pool = k_pool.at[:, pids, offs].set(
+            k_new.reshape(B, T, H * D).astype(k_pool.dtype))
+        v_pool = v_pool.at[:, pids, offs].set(
+            v_new.reshape(B, T, H * D).astype(v_pool.dtype))
+        return k_pool, v_pool
+
+
+class _ScanCrossAttention(nn.Module):
+    """Cross-attention twin: static per-sequence K/V in a stacked
+    [B, L, S, H, D] carry (prefill computes+stores, decode reads)."""
+
+    cfg: TransformerConfig
+    mode: str = "decode"
+
+    @nn.compact
+    def __call__(self, x, encoder_out, cross_k, cross_v, li,
+                 encoder_padding_mask, attn_bias):
+        cfg = self.cfg
+        H, D, E = cfg.num_heads, cfg.head_dim, cfg.embed_dim
+        B, T = x.shape[0], x.shape[1]
+        assert not cfg.xpos_rel_pos, (
+            "scan_layers cross-attention with xPos not implemented (no "
+            "north-star model combines them; use the looped path)")
+
+        qk_init = scaled_init(nn.initializers.xavier_uniform(), 2**-0.5)
+        # sub-LN skips cross-attention projections (decoder.py:321-322)
+        vo_scale = 1.0 / cfg.deepnorm_init_div
+        v_init = scaled_init(nn.initializers.xavier_uniform(),
+                             (2**-0.5) * vo_scale)
+        o_init = scaled_init(nn.initializers.xavier_uniform(), vo_scale)
+        from unilm_tpu.core.layers import make_dense
+
+        q = make_dense(cfg, H * D, kernel_init=qk_init, name="q_proj")(
+            x).reshape(B, T, H, D)
+        if self.mode == "prefill":
+            k = make_dense(cfg, H * D, kernel_init=qk_init, name="k_proj")(
+                encoder_out).reshape(B, -1, H, D)
+            v = make_dense(cfg, H * D, kernel_init=v_init, name="v_proj")(
+                encoder_out).reshape(B, -1, H, D)
+            cross_k = jax.lax.dynamic_update_slice_in_dim(
+                cross_k, k[:, None].astype(cross_k.dtype), li, axis=1)
+            cross_v = jax.lax.dynamic_update_slice_in_dim(
+                cross_v, v[:, None].astype(cross_v.dtype), li, axis=1)
+        else:
+            # decode-first init unsupported (same as the looped path: the
+            # cross cache must come from a prefill)
+            k = jax.lax.dynamic_slice_in_dim(cross_k, li, 1, axis=1)[:, 0]
+            v = jax.lax.dynamic_slice_in_dim(cross_v, li, 1, axis=1)[:, 0]
+        Bkv = k.shape[0]
+        if Bkv != B:
+            # beam search: the cross cache is NOT tiled to beams (generate
+            # _tile_cache skips it — tiling invited XLA to re-materialize
+            # the K-way broadcast every step). Fold the K beams into the
+            # query length instead: non-causal cross attention over shared
+            # keys is exact under this reshape.
+            assert B % Bkv == 0, (B, Bkv)
+            G = B // Bkv
+            out = attention(
+                q.reshape(Bkv, G * T, H, D), k, v, bias=attn_bias,
+                key_padding_mask=encoder_padding_mask, scale=cfg.attn_scale,
+                causal=False, use_flash=cfg.use_flash,
+                flash_block_q=cfg.flash_block_q,
+                flash_block_k=cfg.flash_block_k,
+            ).reshape(B, T, H, D)
+        else:
+            out = attention(
+                q, k, v, bias=attn_bias,
+                key_padding_mask=encoder_padding_mask, scale=cfg.attn_scale,
+                causal=False, use_flash=cfg.use_flash,
+                flash_block_q=cfg.flash_block_q,
+                flash_block_k=cfg.flash_block_k,
+            )
+        out = out.reshape(B, T, H * D)
+        out = make_dense(cfg, E, kernel_init=o_init, name="out_proj")(out)
+        return out, cross_k, cross_v
+
+
+class _ScanDecoderLayerKV(nn.Module):
+    """nn.scan body for PREFILL/DECODE: carry = (x, k_pool, v_pool,
+    cross_k, cross_v, layer_index); same param subtree as DecoderLayer."""
+
+    cfg: TransformerConfig
+    has_cross_attention: bool = False
+    alpha: float = 1.0
+    causal: bool = True
+    mode: str = "decode"
+    page: int = 64
+    chunk: int = 8
+    pages_per_layer: int = 0
+
+    @nn.compact
+    def __call__(self, carry, encoder_out, self_key_padding_mask,
+                 encoder_padding_mask, self_attn_bias, cross_attn_bias,
+                 start):
+        cfg = self.cfg
+        x, k_pool, v_pool, cross_k, cross_v, li = carry
+
+        def _mln(name):
+            return make_norm(cfg, name)
+
+        residual = x
+        if cfg.normalize_before:
+            x = _mln("self_attn_layer_norm")(x)
+        x, k_pool, v_pool = _ScanSelfAttention(
+            cfg, mode=self.mode, causal=self.causal,
+            use_xpos=cfg.xpos_rel_pos, page=self.page, chunk=self.chunk,
+            pages_per_layer=self.pages_per_layer, name="self_attn",
+        )(x, k_pool, v_pool, li, start, self_key_padding_mask,
+          self_attn_bias)
+        x = residual * self.alpha + x
+        if not cfg.normalize_before:
+            x = _mln("self_attn_layer_norm")(x)
+
+        if self.has_cross_attention:
+            residual = x
+            if cfg.normalize_before:
+                x = _mln("encoder_attn_layer_norm")(x)
+            x, cross_k, cross_v = _ScanCrossAttention(
+                cfg, mode=self.mode, name="encoder_attn",
+            )(x, encoder_out, cross_k, cross_v, li, encoder_padding_mask,
+              cross_attn_bias)
+            x = residual * self.alpha + x
+            if not cfg.normalize_before:
+                x = _mln("encoder_attn_layer_norm")(x)
+
+        ffn, _ = _build_ffn(cfg, 0)
+        residual = x
+        if cfg.normalize_before:
+            x = _mln("final_layer_norm")(x)
+        x = ffn(x, deterministic=True)
+        x = residual * self.alpha + x
+        if not cfg.normalize_before:
+            x = _mln("final_layer_norm")(x)
+        return (x, k_pool, v_pool, cross_k, cross_v, li + 1), None
 
 
 def stack_layer_params(params: dict, num_layers: int, prefix: str = "layers_",
@@ -459,38 +758,89 @@ class Decoder(nn.Module):
         if cfg.scan_layers:
             # Dispatch-free stack: ONE lax.scan over axis-0-stacked params.
             # A 24-layer bs=1 decode step unrolled is 600+ tiny ops whose
-            # per-op scheduling gaps (~1.9 ms measured on v5e) dominate the
-            # weight-stream roofline; scanned, XLA compiles one loop body.
+            # per-op scheduling gaps dominate the weight-stream roofline;
+            # scanned, XLA compiles one loop body.
             assert cfg.moe_freq == 0, "scan_layers requires dense layers"
             assert cfg.drop_path_rate == 0.0, (
                 "scan_layers requires a uniform stack (no per-layer "
                 "stochastic-depth schedule)")
-            cache_pos = jnp.zeros((), jnp.int32)
-            if mode != "train":
-                # ONE stack-level counter replaces 24 per-layer scalars
-                # (axis-1 cache stacking cannot represent 0-dim leaves)
-                idx = self.variable(
-                    "cache", "cache_index", lambda: jnp.zeros((), jnp.int32))
-                cache_pos = (jnp.zeros((), jnp.int32) if mode == "prefill"
-                             else idx.value)
-                idx.value = cache_pos + x.shape[1]
-            body_cls = _ScanDecoderLayer
-            if cfg.remat and mode == "train":
-                body_cls = nn.remat(
-                    body_cls, policy=_remat_policy(cfg), prevent_cse=False)
+            # scan carries need a fixed dtype; an f32 embedding front-end
+            # (layernorm_embedding) meets bf16 layer outputs otherwise —
+            # the looped path downcasts at layer 1's first op anyway
+            x = x.astype(cfg.dtype)
+            if mode == "train":
+                body_cls = _ScanDecoderLayer
+                if cfg.remat:
+                    body_cls = nn.remat(
+                        body_cls, policy=_remat_policy(cfg), prevent_cse=False)
+                scan_cls = nn.scan(
+                    body_cls,
+                    variable_axes={"params": 0},
+                    split_rngs={"params": True, "dropout": True},
+                    in_axes=nn.broadcast,
+                    length=cfg.num_layers,
+                )
+                x, _ = scan_cls(
+                    cfg, has_cross_attention=self.has_cross_attention,
+                    alpha=alpha, causal=causal, mode=mode,
+                    cache_size=cache_size, deterministic=deterministic,
+                    name="layers",
+                )(x, encoder_out, self_key_padding_mask,
+                  encoder_padding_mask, self_attn_bias, None,
+                  jnp.zeros((), jnp.int32))
+                if cfg.normalize_before:
+                    x = _ln(cfg, "layer_norm")(x)
+                return x
+
+            # ---- prefill/decode: carry-threaded KV page pool ------------
+            assert cache_size > 0, "prefill/decode need cache_size"
+            L, B, T = cfg.num_layers, x.shape[0], x.shape[1]
+            H, D = cfg.num_heads, cfg.head_dim
+            page, chunk, pp = _scan_pool_geometry(cache_size)
+            kp = self.variable(
+                "cache", "kv_pool_key", jnp.zeros,
+                (B, L * pp, page, H * D), cfg.dtype)
+            vp = self.variable(
+                "cache", "kv_pool_value", jnp.zeros,
+                (B, L * pp, page, H * D), cfg.dtype)
+            idx = self.variable(
+                "cache", "cache_index", lambda: jnp.zeros((), jnp.int32))
+            start = (jnp.zeros((), jnp.int32) if mode == "prefill"
+                     else idx.value)
+            idx.value = start + T
+            if self.has_cross_attention:
+                if mode == "prefill":
+                    S_enc = encoder_out.shape[1]
+                    ck = self.variable(
+                        "cache", "cross_key", jnp.zeros,
+                        (B, L, S_enc, H, D), cfg.dtype)
+                    cv = self.variable(
+                        "cache", "cross_value", jnp.zeros,
+                        (B, L, S_enc, H, D), cfg.dtype)
+                else:
+                    ck = self.variable("cache", "cross_key", None)
+                    cv = self.variable("cache", "cross_value", None)
+                ckv, cvv = ck.value, cv.value
+            else:
+                ckv = cvv = jnp.zeros((), cfg.dtype)  # dummy carry leaves
             scan_cls = nn.scan(
-                body_cls,
-                variable_axes={"params": 0, "cache": 1},
-                split_rngs={"params": True, "dropout": True},
+                _ScanDecoderLayerKV,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
                 in_axes=nn.broadcast,
-                length=cfg.num_layers,
+                length=L,
             )
-            x, _ = scan_cls(
-                cfg, has_cross_attention=self.has_cross_attention, alpha=alpha,
-                causal=causal, mode=mode, cache_size=cache_size,
-                deterministic=deterministic, name="layers",
-            )(x, encoder_out, self_key_padding_mask, encoder_padding_mask,
-              self_attn_bias, None, cache_pos)
+            carry = (x, kp.value, vp.value, ckv, cvv,
+                     jnp.zeros((), jnp.int32))
+            carry, _ = scan_cls(
+                cfg, has_cross_attention=self.has_cross_attention,
+                alpha=alpha, causal=causal, mode=mode, page=page,
+                chunk=chunk, pages_per_layer=pp, name="layers",
+            )(carry, encoder_out, self_key_padding_mask,
+              encoder_padding_mask, self_attn_bias, None, start)
+            x, kp.value, vp.value, ckv, cvv, _ = carry
+            if self.has_cross_attention:
+                ck.value, cv.value = ckv, cvv
             if cfg.normalize_before:
                 x = _ln(cfg, "layer_norm")(x)
             return x

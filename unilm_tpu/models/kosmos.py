@@ -255,6 +255,10 @@ class UniGPTConfig:
     scan_layers: bool = False  # lax.scan the decoder stack over stacked
     # params (decode dispatch killer — core/config.py scan_layers). Convert
     # a looped checkpoint with models.kosmos.stack_unigpt_params.
+    quant_lm_head: bool = False  # int8 output projection (conversion-only:
+    # quantize_lm_head builds it from the tied embedding). bs=1 decode
+    # streams the [V, E] head every step — 333 MB bf16 = 0.44 ms at
+    # kosmos-2.5 scale, the single biggest op after the layer stack.
 
     def decoder_cfg(self) -> TransformerConfig:
         return TransformerConfig(
@@ -314,7 +318,8 @@ class UniGPT(nn.Module):
         self.embed_tokens = nn.Embed(
             cfg.vocab_size, cfg.embed_dim,
             embedding_init=nn.initializers.normal(cfg.embed_dim**-0.5),
-            dtype=tcfg.dtype, name="embed_tokens",
+            dtype=tcfg.dtype, param_dtype=cfg.param_dtype,
+            name="embed_tokens",
         )
         self.decoder = Decoder(tcfg, name="decoder")
         if not cfg.share_input_output_embed:
@@ -323,11 +328,20 @@ class UniGPT(nn.Module):
                 kernel_init=nn.initializers.normal(cfg.embed_dim**-0.5),
                 name="output_projection",
             )
+        if cfg.quant_lm_head:
+            from unilm_tpu.ops.quant import QuantDense
+
+            # XLA dequant-dot (use_kernel=False): fuses convert+dot at the
+            # int8 stream roofline even at M=1 (see core/layers.make_dense)
+            self.lm_head_q = QuantDense(
+                cfg.vocab_size, use_bias=False, dtype=tcfg.dtype,
+                use_kernel=False, name="lm_head_q",
+            )
         if cfg.learned_pos and cfg.use_positional:
             self.embed_positions = nn.Embed(
                 cfg.max_positions + cfg.padding_idx + 1, cfg.embed_dim,
                 embedding_init=nn.initializers.normal(cfg.embed_dim**-0.5),
-                name="embed_positions",
+                param_dtype=cfg.param_dtype, name="embed_positions",
             )
         if cfg.segment_emb:
             self.segment_embeddings = nn.Embed(2, cfg.embed_dim, name="segment_emb")
@@ -416,6 +430,8 @@ class UniGPT(nn.Module):
         return x
 
     def output_layer(self, x):
+        if self.cfg.quant_lm_head:
+            return self.lm_head_q(x)
         if self.cfg.share_input_output_embed:
             return self.embed_tokens.attend(x)
         return self.output_projection(x)
@@ -497,6 +513,19 @@ class UniGPT(nn.Module):
 
     def encode_audio(self, aud_inputs, deterministic: bool = True):
         return self.get_audio_representation(aud_inputs, deterministic)
+
+
+def quantize_lm_head(params: dict) -> dict:
+    """Conversion for UniGPTConfig(quant_lm_head=True): build the int8
+    output projection from the tied embedding (emb.T, per-vocab-column
+    scales). The embedding itself stays full precision for the lookup."""
+    from unilm_tpu.ops.quant import quantize_int8
+
+    out = dict(params)
+    emb = out["embed_tokens"]["embedding"]
+    wi, scale = quantize_int8(jnp.asarray(emb).T, axis=0)
+    out["lm_head_q"] = {"kernel_i8": wi, "scale": scale}
+    return out
 
 
 def stack_unigpt_params(params: dict, num_layers: int) -> dict:

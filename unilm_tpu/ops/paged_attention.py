@@ -559,50 +559,60 @@ def _run_decode_kernel(
         l_ref[:] = jnp.zeros_like(l_ref)
 
     q = q_ref[0]  # [H, D]
-    qfull = jnp.tile(q, (1, H))
-    rows = jax.lax.broadcasted_iota(jnp.int32, (H, H * D), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (H, H * D), 1)
-    blockmask = (cols // D) == rows
-    qbd = jnp.where(blockmask, qfull, jnp.zeros_like(qfull))
 
-    kf = k_ref[...].reshape(S, H * D)
-    vf = v_ref[...].reshape(S, H * D)
-    if quantized:
-        kf = kf.astype(q.dtype)
-        vf = vf.astype(q.dtype)
+    @pl.when(c < nchunks)
+    def _compute():
+        # Clamped tail steps (c >= nchunks: short sequences inside a
+        # PP-sized grid) previously ran the full masked matmul to add
+        # exact zeros — ~2.4us each, 0.6 ms/step at kosmos bs=1 with a
+        # 6k-token pool holding a 2k prompt. Skipping the body entirely
+        # makes grid cost track ceil(len/slab), not the pool bound.
+        qfull = jnp.tile(q, (1, H))
+        rows = jax.lax.broadcasted_iota(jnp.int32, (H, H * D), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (H, H * D), 1)
+        blockmask = (cols // D) == rows
+        qbd = jnp.where(blockmask, qfull, jnp.zeros_like(qfull))
 
-    s = jax.lax.dot_general(
-        qbd, kf, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [H, S]
-    if quantized:
-        s = s * scale_ref[0, 0:1, :]  # per-token K scales, [1, S] broadcast
-    tok = cc * S + jax.lax.broadcasted_iota(jnp.int32, (H, S), 1)
-    keep = (tok < L) & (cc == c)  # clamped re-fetches contribute nothing
-    s = jnp.where(keep, s, NEG_INF)
+        kf = k_ref[...].reshape(S, H * D)
+        vf = v_ref[...].reshape(S, H * D)
+        if quantized:
+            kf = kf.astype(q.dtype)
+            vf = vf.astype(q.dtype)
 
-    m_prev = m_ref[:, :1]
-    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-    p_ = jnp.where(keep, jnp.exp(s - m_new), 0.0)
-    alpha = jnp.exp(m_prev - m_new)
-    l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(p_, axis=1, keepdims=True)
-    m_ref[:, :1] = m_new
+        s = jax.lax.dot_general(
+            qbd, kf, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32
+        )  # [H, S]
+        if quantized:
+            s = s * scale_ref[0, 0:1, :]  # per-token K scales, [1, S]
+        tok = cc * S + jax.lax.broadcasted_iota(jnp.int32, (H, S), 1)
+        keep = tok < L  # (cc == c inside the guard by construction)
+        s = jnp.where(keep, s, NEG_INF)
 
-    if quantized:
-        p_ = p_ * scale_ref[0, 1:2, :]  # fold per-token V scales into p
-    pv = jax.lax.dot_general(
-        p_.astype(vf.dtype), vf, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [H, H*D]; row h's head lives in columns h*D:(h+1)*D
-    # fold the H diagonal blocks with ONE fp32 matmul (a 16-step static
-    # slice loop costs ~16 serial VPU ops per grid step — measurable)
-    fold = (jax.lax.broadcasted_iota(jnp.int32, (H * D, D), 0) % D
-            == jax.lax.broadcasted_iota(jnp.int32, (H * D, D), 1)
-            ).astype(jnp.float32)
-    pv_sum = jax.lax.dot_general(
-        jnp.where(blockmask, pv, 0.0), fold, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [H, D]
-    acc_ref[:] = acc_ref[:] * alpha + pv_sum
+        m_prev = m_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p_ = jnp.where(keep, jnp.exp(s - m_new), 0.0)
+        alpha = jnp.exp(m_prev - m_new)
+        l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(p_, axis=1,
+                                                      keepdims=True)
+        m_ref[:, :1] = m_new
+
+        if quantized:
+            p_ = p_ * scale_ref[0, 1:2, :]  # fold per-token V scales
+        pv = jax.lax.dot_general(
+            p_.astype(vf.dtype), vf, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [H, H*D]; row h's head lives in columns h*D:(h+1)*D
+        # fold the H diagonal blocks with ONE fp32 matmul (a 16-step
+        # static slice loop costs ~16 serial VPU ops per grid step)
+        fold = (jax.lax.broadcasted_iota(jnp.int32, (H * D, D), 0) % D
+                == jax.lax.broadcasted_iota(jnp.int32, (H * D, D), 1)
+                ).astype(jnp.float32)
+        pv_sum = jax.lax.dot_general(
+            jnp.where(blockmask, pv, 0.0), fold, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [H, D]
+        acc_ref[:] = acc_ref[:] * alpha + pv_sum
 
     @pl.when(c == nc - 1)
     def _finalize():

@@ -193,6 +193,9 @@ class QuantDense(nn.Module):
     features: int
     use_bias: bool = True
     dtype: Any = jnp.bfloat16
+    use_kernel: bool = True  # False: XLA dequant-dot (fuses a scanned
+    # stack's per-layer dynamic-slice into the dot; the Pallas custom call
+    # forces the slice to materialize — the int8 stream paid twice)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -204,7 +207,10 @@ class QuantDense(nn.Module):
             "scale", nn.initializers.ones, (self.features,), jnp.float32
         )
         x = x.astype(self.dtype)
-        y = int8_matmul(x, wi, scale)
+        if self.use_kernel:
+            y = int8_matmul(x, wi, scale)
+        else:
+            y = _xla_int8_matmul(x, wi, scale)
         if self.use_bias:
             b = self.param(
                 "bias", nn.initializers.zeros, (self.features,), jnp.float32

@@ -206,6 +206,208 @@ class PipelineLM:
         )
 
 
+class PipelineGPT:
+    """The FLAGSHIP decoder (UniGPT's text path — the 1.3B bench config)
+    trained pipeline-parallel: real UniGPT checkpoints convert in/out.
+
+    This is the reference's --pipeline-model-parallel applied to its real
+    registered model (fairseq/distributed/utils.py:153-243 partitions the
+    actual TransformerLanguageModel across devices), not a bespoke toy:
+    embedding (scaled + fairseq sinusoidal positions), the subln/xPos
+    DecoderLayer stack (pipelined via pipeline_apply), final layer_norm,
+    and the tied output head — same math as models.kosmos.UniGPT's
+    text-only forward (parity-tested in tests/test_pipeline.py).
+
+    Composition with FSDP (`fsdp_axis`): fully-manual ZeRO-3 inside the
+    same shard_map — stage-stacked weight matrices shard their LAST dim
+    over the fsdp axis and are all-gathered just-in-time inside each
+    stage; microbatch rows shard over fsdp (data parallel), and reverse-AD
+    of the all_gather reduce-scatters the gradients back to the shards.
+    (The partial-manual/auto-axes formulation hard-crashes this XLA
+    build's SPMD partitioner at fsdp>2 and under bf16 — hence manual.)
+    Scope: dense layers (cfg.moe_freq == 0 — MoE-in-pipeline would need
+    expert all_to_all groups nested inside stage shards, which the
+    reference also never combined with Pipe; see COVERAGE.md §2.9) and no
+    key-padding mask (packed pretraining batches are full blocks; loss
+    masking handles pad targets).
+    """
+
+    def __init__(self, cfg, num_stages: int, mesh: Mesh,
+                 num_microbatches: int, axis_name: str = "stage",
+                 remat: bool = False, fsdp_axis: Optional[str] = None):
+        from unilm_tpu.core.transformer import DecoderLayer
+
+        tcfg = cfg.decoder_cfg()
+        assert tcfg.num_layers % num_stages == 0
+        assert tcfg.moe_freq == 0, (
+            "PP: dense layers only (MoE needs expert groups nested in "
+            "stages; documented scope limit)")
+        self.cfg = cfg
+        self.tcfg = tcfg
+        self.S = num_stages
+        self.M = num_microbatches
+        self.mesh = mesh
+        self.axis_name = axis_name
+        self.remat = remat
+        self.fsdp_axis = fsdp_axis
+        if fsdp_axis is not None:
+            assert fsdp_axis in mesh.shape, (fsdp_axis, mesh.shape)
+        self.layer = DecoderLayer(tcfg, layer_idx=0)
+
+    def _fsdp_sharded(self, x) -> bool:
+        """Which stage-stacked leaves shard over fsdp: weight MATRICES
+        ([S, per, in, out] and up) whose last dim divides evenly; vectors
+        (biases/LN scales) stay replicated."""
+        return (self.fsdp_axis is not None and x.ndim >= 4
+                and x.shape[-1] % self.mesh.shape[self.fsdp_axis] == 0)
+
+    # ---- param conversion (UniGPT tree <-> staged tree) ----------------- #
+    def from_unigpt(self, params: Any) -> Any:
+        """UniGPT text-path params -> pipeline tree: decoder/layers_i
+        stacked to [S, L/S, ...]; embed + final LN pass through."""
+        L = self.tcfg.num_layers
+        dec = params["decoder"]
+        stages = stack_stage_params(
+            [dec[f"layers_{i}"] for i in range(L)], self.S)
+        return {
+            "embed_tokens": params["embed_tokens"],
+            "stages": stages,
+            "layer_norm": dec["layer_norm"],
+        }
+
+    def to_unigpt(self, pp_params: Any, like: Any) -> Any:
+        """Inverse of from_unigpt (checkpoint export). `like` supplies the
+        non-decoder leaves (step counters etc.) untouched by PP."""
+        L = self.tcfg.num_layers
+        per = L // self.S
+        dec = dict(like["decoder"])
+        for i in range(L):
+            dec[f"layers_{i}"] = jax.tree.map(
+                lambda a: a[i // per, i % per], pp_params["stages"])
+        dec["layer_norm"] = pp_params["layer_norm"]
+        out = dict(like)
+        out["decoder"] = dec
+        out["embed_tokens"] = pp_params["embed_tokens"]
+        return out
+
+    def init(self, rng: jax.Array) -> Any:
+        """Init through the real UniGPT (so params ARE a flagship
+        checkpoint) and convert."""
+        from unilm_tpu.models.kosmos import UniGPT
+
+        model = UniGPT(self.cfg)
+        tokens = jnp.ones((1, 8), jnp.int32)
+        params = model.init(rng, tokens)["params"]
+        return self.from_unigpt(params)
+
+    # ---- forward --------------------------------------------------------- #
+    def _stage_fn(self, sp, x):
+        def body(h, lp):
+            return self.layer.apply({"params": lp}, h, causal=True), None
+
+        out, _ = jax.lax.scan(body, x, sp)
+        return out
+
+    def apply_layers(self, stages: Any, h: jax.Array) -> jax.Array:
+        fa = self.fsdp_axis
+
+        def leaf_spec(x):
+            axes = [self.axis_name] + [None] * (x.ndim - 1)
+            if self._fsdp_sharded(x):
+                axes[-1] = fa
+            return P(*axes)
+
+        sharded_mask = jax.tree.map(lambda x: bool(self._fsdp_sharded(x)),
+                                    stages)
+        in_specs = (jax.tree.map(leaf_spec, stages),
+                    P(None, fa) if fa else P(None))
+        out_spec = P(None, fa) if fa else P(None)
+
+        def wrapped(sp, xx):
+            sp = jax.tree.map(lambda l: l[0], sp)  # squeeze stage dim
+            if fa:
+                # ZeRO-3 just-in-time gather; its reverse-AD is the
+                # reduce-scatter that hands each rank its grad shard
+                sp = jax.tree.map(
+                    lambda l, m: (jax.lax.all_gather(
+                        l, fa, axis=l.ndim - 1, tiled=True) if m else l),
+                    sp, sharded_mask)
+            return pipeline_apply(
+                self._stage_fn, sp, xx,
+                axis_name=self.axis_name, remat=self.remat)
+
+        piped = shard_map(
+            wrapped, mesh=self.mesh,
+            in_specs=in_specs, out_specs=out_spec, check_rep=False,
+        )
+        return piped(stages, h)
+
+    def features(self, params: Any, tokens: jax.Array) -> jax.Array:
+        """Pre-logit decoder output [B, T, E] (same contract as
+        UniGPT(..., return_features=True) — feeds chunked-vocab CE,
+        ops/fused_ce.py)."""
+        from unilm_tpu.models.kosmos import sinusoidal_table
+
+        cfg = self.cfg
+        B, T = tokens.shape
+        M = self.M
+        assert B % M == 0, f"batch {B} not divisible into {M} microbatches"
+        if self.fsdp_axis is not None:
+            f = self.mesh.shape[self.fsdp_axis]
+            assert (B // M) % f == 0, (
+                f"microbatch rows {B // M} must divide over fsdp={f} "
+                "(data shards over the fsdp axis; replicated data would "
+                "double-count gradients through the ZeRO reduce-scatter)")
+        emb = params["embed_tokens"]["embedding"]
+        h = emb[tokens].astype(self.tcfg.dtype)
+        if cfg.scale_embedding:
+            h = h * cfg.embed_dim**0.5
+        if cfg.use_positional:
+            table = jnp.asarray(sinusoidal_table(
+                cfg.max_positions + cfg.padding_idx + 1, cfg.embed_dim,
+                cfg.padding_idx))
+            pos = jnp.arange(T) + cfg.padding_idx + 1
+            h = h + jnp.take(table, pos, axis=0)[None].astype(h.dtype)
+        h = h.reshape(M, B // M, T, cfg.embed_dim)
+        h = self.apply_layers(params["stages"], h)
+        h = h.reshape(B, T, cfg.embed_dim)
+        if self.tcfg.normalize_before:
+            xf = h.astype(jnp.float32)
+            mu = xf.mean(-1, keepdims=True)
+            var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+            y = (xf - mu) * jax.lax.rsqrt(var + self.tcfg.layernorm_eps)
+            ln = params["layer_norm"]
+            h = (y * ln["scale"] + ln["bias"]).astype(h.dtype)
+        return h
+
+    def logits(self, params: Any, tokens: jax.Array) -> jax.Array:
+        """Same embedding/head math as UniGPT.__call__'s text path
+        (models/kosmos.py _embed/output_layer), layers pipelined."""
+        h = self.features(params, tokens)
+        emb = params["embed_tokens"]["embedding"]
+        return jax.lax.dot_general(
+            h, emb.astype(h.dtype), (((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def shardings(self, params: Any):
+        """NamedShardings for the pipeline tree: stages on ('stage', ...)
+        with weight matrices' last dim on the fsdp axis (the exact layout
+        apply_layers' in_specs consume); everything else replicated."""
+        from jax.sharding import NamedSharding
+
+        def spec(path, x):
+            is_stage = any(getattr(k, "key", "") == "stages" for k in path)
+            if not is_stage:
+                return NamedSharding(self.mesh, P())
+            axes = [self.axis_name] + [None] * (x.ndim - 1)
+            if self._fsdp_sharded(x):
+                axes[-1] = self.fsdp_axis
+            return NamedSharding(self.mesh, P(*axes))
+
+        return jax.tree_util.tree_map_with_path(spec, params)
+
+
 def stack_stage_params(params_per_layer: list, num_stages: int) -> Any:
     """[L] per-layer param pytrees -> stacked pytree with leading
     [num_stages, L/num_stages] dims (ready for P('stage', ...) sharding)."""
