@@ -144,9 +144,12 @@ def bench_decode(on_tpu: bool):
     from unilm_tpu.ops.quant import quantize_dense_tree
 
     if on_tpu:
-        T, steps, iters = 2052, 32, 5
+        # 64 amortized steps: the +-10 ms host-call constant is then worth
+        # +-0.16 ms/token on the measurement
+        T, steps, iters = 2052, 64, 5
         cfg = kosmos2_5(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
-                        image_tower=None, scan_layers=True)
+                        image_tower=None, scan_layers=True,
+                        kv_cache_dtype="int8")
     else:
         T, steps, iters = 8, 4, 2
         cfg = UniGPTConfig(vocab_size=256, embed_dim=64, num_layers=2,

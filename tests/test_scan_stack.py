@@ -210,3 +210,42 @@ def test_scan_int8_parity():
         logits[name] = np.asarray(lg)
     np.testing.assert_allclose(logits["loop"], logits["scan"],
                                rtol=1e-5, atol=1e-5)
+
+
+def test_scan_int8_kv_cache_close():
+    """kv_cache_dtype='int8': per-token int8 KV pool + scale sidecar.
+    Quantization perturbs logits slightly; assert closeness to the bf16-KV
+    scanned oracle (same class of tolerance as serving's int8 KV tests)."""
+    from unilm_tpu.models.kosmos import (
+        UniGPT, UniGPTConfig, make_unigpt_generate_fns, stack_unigpt_params)
+
+    kw = dict(vocab_size=97, embed_dim=32, num_layers=3, num_heads=4,
+              ffn_dim=64, max_positions=128, use_flash=False,
+              scan_layers=True)
+    m_ref = UniGPT(UniGPTConfig(**kw))
+    m_q = UniGPT(UniGPTConfig(kv_cache_dtype="int8", **kw))
+    B, P, cache = 2, 6, 24
+    prompt = jax.random.randint(jax.random.PRNGKey(0), (B, P), 4, 90)
+    p_loop = UniGPT(UniGPTConfig(**{**kw, "scan_layers": False})).init(
+        jax.random.PRNGKey(1), prompt)["params"]
+    params = stack_unigpt_params(dict(p_loop), 3)
+
+    outs = {}
+    for name, m in (("ref", m_ref), ("q", m_q)):
+        pf, st = make_unigpt_generate_fns(m, cache_size=cache)
+        logits, c = pf(params, prompt, None)
+        step_logits = []
+        for s in range(3):
+            lg, c = st(params, prompt[:, -1:], c, None)
+            step_logits.append(np.asarray(lg))
+        outs[name] = (np.asarray(logits), step_logits)
+    np.testing.assert_allclose(outs["ref"][0], outs["q"][0],
+                               rtol=0.1, atol=0.15)
+    for a, b in zip(outs["ref"][1], outs["q"][1]):
+        np.testing.assert_allclose(a, b, rtol=0.1, atol=0.15)
+    # and the sidecar really is populated
+    m = m_q
+    pf, st = make_unigpt_generate_fns(m, cache_size=cache)
+    _, c = pf(params, prompt, None)
+    assert c["decoder"]["kv_pool_scale"].max() > 0
+    assert c["decoder"]["kv_pool_key"].dtype == jnp.int8

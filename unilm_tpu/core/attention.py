@@ -118,8 +118,14 @@ class MultiheadAttention(nn.Module):
                     cfg.scale_length, jnp.float32,
                 )
                 q = (q * qscale[None, :, None, None]).astype(q.dtype)
-            assert attn_bias is None and key_padding_mask is None, (
-                "seq_axis self-attention supports no bias/key-padding yet")
+            if attn_bias is not None or key_padding_mask is not None:
+                raise NotImplementedError(
+                    "cfg.seq_axis (sequence-parallel ring attention) is "
+                    "LM-scope: additive biases / key-padding masks are not "
+                    "threaded through the ring chunks. Use the dense/flash "
+                    "path for ragged or biased encoder workloads "
+                    "(TransformerConfig.seq_axis docstring, COVERAGE.md "
+                    "§2.9).")
             from unilm_tpu.parallel.ring_attention import ring_attention_flash
 
             out = ring_attention_flash(

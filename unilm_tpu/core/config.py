@@ -83,6 +83,11 @@ class TransformerConfig:
     # xPos uses global positions. The long-context training path
     # (LongNet/YOCO envelope) — lets a step whose activations exceed one
     # chip train across the ring. See parallel/long_context.py.
+    # SCOPE (COVERAGE.md §2.9): LM-style self-attention only — additive
+    # attention biases and key-padding masks are NOT threaded through the
+    # ring (each traveling KV chunk would need its mask/bias chunk in both
+    # ring passes). Packed full-block LM batches need neither; ragged
+    # long-document ENCODER workloads must stay on the dense/flash path.
     seq_axis: Any = None  # Optional[str]
     window_size: int = 0  # sliding-window attention (0 = full)
     flash_block_q: int = 512
@@ -90,6 +95,11 @@ class TransformerConfig:
     quant_weights: bool = False  # int8 weight-only projections (serving/
     # decode; conversion-only — see ops/quant.py). The reference serves in
     # fp16 (kosmos-2.5/inference.py:132); this halves the decode HBM stream.
+    kv_cache_dtype: str = "model"  # "model" | "int8": per-token symmetric
+    # int8 KV in the scan_layers decode pool (ops/paged_attention
+    # quantize_kv_rows + scale sidecar). Halves the slab stream — the
+    # cache read is the biggest ctx-dependent decode cost — and doubles
+    # KV capacity; logit error ~1e-2-class (below bf16 decode noise).
     scan_layers: bool = False  # run the homogeneous layer stack as ONE
     # lax.scan over axis-0-stacked per-layer params instead of a Python
     # loop. Decode-path dispatch killer: a 24-layer bs=1 decode step is

@@ -358,12 +358,13 @@ class _ScanSelfAttention(nn.Module):
     pages_per_layer: int = 0
 
     @nn.compact
-    def __call__(self, x, k_pool, v_pool, li, start,
+    def __call__(self, x, k_pool, v_pool, scale_pool, li, start,
                  key_padding_mask, attn_bias):
         cfg = self.cfg
         H, D, E = cfg.num_heads, cfg.head_dim, cfg.embed_dim
         B, T = x.shape[0], x.shape[1]
         PP, page = self.pages_per_layer, self.page
+        quantized = scale_pool is not None and jnp.ndim(scale_pool) > 0
 
         qk_init = scaled_init(nn.initializers.xavier_uniform(), 2**-0.5)
         vo_scale = (1.0 / cfg.deepnorm_init_div) * cfg.subln_init_mul
@@ -407,8 +408,9 @@ class _ScanSelfAttention(nn.Module):
                 flash_block_q=cfg.flash_block_q,
                 flash_block_k=cfg.flash_block_k,
             )
-            k_pool, v_pool = self._scatter_rows(
-                k_pool, v_pool, k_new, v_new, li, start)
+            k_pool, v_pool, scale_pool = self._scatter_rows(
+                k_pool, v_pool, scale_pool, k_new, v_new, li, start,
+                quantized)
         else:
             from unilm_tpu.ops.paged_attention import (
                 kernel_supported, run_decode_append_attention)
@@ -421,20 +423,43 @@ class _ScanSelfAttention(nn.Module):
                 vp3 = v_pool.reshape(B * LPP, page, H * D)
                 bases = jnp.arange(B, dtype=jnp.int32) * LPP + li * PP
                 lengths = jnp.full((B,), start, jnp.int32)
-                out, kp3, vp3 = run_decode_append_attention(
-                    q, k_new, v_new, kp3, vp3, bases, lengths,
-                    max_pages=PP, scale=scale, chunk=self.chunk)
+                if quantized:
+                    sp3 = scale_pool.reshape(
+                        B * LPP // self.chunk, 8, self.chunk * page)
+                    out, kp3, vp3, sp3 = run_decode_append_attention(
+                        q, k_new, v_new, kp3, vp3, bases, lengths,
+                        max_pages=PP, scale=scale, chunk=self.chunk,
+                        scale_pool=sp3)
+                    scale_pool = sp3.reshape(scale_pool.shape)
+                else:
+                    out, kp3, vp3 = run_decode_append_attention(
+                        q, k_new, v_new, kp3, vp3, bases, lengths,
+                        max_pages=PP, scale=scale, chunk=self.chunk)
                 k_pool = kp3.reshape(k_pool.shape)
                 v_pool = vp3.reshape(v_pool.shape)
             else:
                 # generic path (CPU tests, decode bias, GAD T>1 verify):
                 # scatter the rows, gather this layer's slab, masked attention
-                k_pool, v_pool = self._scatter_rows(
-                    k_pool, v_pool, k_new, v_new, li, start)
+                k_pool, v_pool, scale_pool = self._scatter_rows(
+                    k_pool, v_pool, scale_pool, k_new, v_new, li, start,
+                    quantized)
                 kk = jax.lax.dynamic_slice_in_dim(
                     k_pool, li * PP, PP, axis=1).reshape(B, PP * page, H, D)
                 vv = jax.lax.dynamic_slice_in_dim(
                     v_pool, li * PP, PP, axis=1).reshape(B, PP * page, H, D)
+                if quantized:
+                    # per-token scales for this layer's slabs: rows 0/1 of
+                    # the [.., 8, chunk*page] sidecar blocks
+                    spc = self.chunk * page
+                    sl = jax.lax.dynamic_slice_in_dim(
+                        scale_pool, li * PP // self.chunk, PP // self.chunk,
+                        axis=1)  # [B, PP/chunk, 8, chunk*page]
+                    ksc = sl[:, :, 0].reshape(B, PP * page)
+                    vsc = sl[:, :, 1].reshape(B, PP * page)
+                    kk = (kk.astype(cfg.dtype)
+                          * ksc[:, :, None, None].astype(cfg.dtype))
+                    vv = (vv.astype(cfg.dtype)
+                          * vsc[:, :, None, None].astype(cfg.dtype))
                 if attn_bias is not None:
                     # bias spans cache_size keys; the pool is chunk-rounded
                     # to PP*page. Pad with zeros (kv_len masks the tail).
@@ -458,18 +483,35 @@ class _ScanSelfAttention(nn.Module):
         if cfg.subln:
             out = make_norm(cfg, "inner_attn_ln")(out)
         out = make_dense(cfg, E, kernel_init=o_init, name="out_proj")(out)
-        return out, k_pool, v_pool
+        return out, k_pool, v_pool, scale_pool
 
-    def _scatter_rows(self, k_pool, v_pool, k_new, v_new, li, start):
+    def _scatter_rows(self, k_pool, v_pool, scale_pool, k_new, v_new, li,
+                      start, quantized):
         B, T, H, D = k_new.shape
         pos = start + jnp.arange(T)
         pids = li * self.pages_per_layer + pos // self.page  # [T]
         offs = pos % self.page
-        k_pool = k_pool.at[:, pids, offs].set(
-            k_new.reshape(B, T, H * D).astype(k_pool.dtype))
-        v_pool = v_pool.at[:, pids, offs].set(
-            v_new.reshape(B, T, H * D).astype(v_pool.dtype))
-        return k_pool, v_pool
+        if quantized:
+            from unilm_tpu.ops.paged_attention import quantize_kv_rows
+
+            ki, vi, ks, vs = quantize_kv_rows(
+                k_new.reshape(B * T, H * D), v_new.reshape(B * T, H * D))
+            k_pool = k_pool.at[:, pids, offs].set(
+                ki.reshape(B, T, H * D))
+            v_pool = v_pool.at[:, pids, offs].set(
+                vi.reshape(B, T, H * D))
+            slab_ids = pids // self.chunk
+            pos_in = (pids % self.chunk) * self.page + offs
+            scale_pool = scale_pool.at[:, slab_ids, 0, pos_in].set(
+                ks.reshape(B, T))
+            scale_pool = scale_pool.at[:, slab_ids, 1, pos_in].set(
+                vs.reshape(B, T))
+        else:
+            k_pool = k_pool.at[:, pids, offs].set(
+                k_new.reshape(B, T, H * D).astype(k_pool.dtype))
+            v_pool = v_pool.at[:, pids, offs].set(
+                v_new.reshape(B, T, H * D).astype(v_pool.dtype))
+        return k_pool, v_pool, scale_pool
 
 
 class _ScanCrossAttention(nn.Module):
@@ -560,7 +602,7 @@ class _ScanDecoderLayerKV(nn.Module):
                  encoder_padding_mask, self_attn_bias, cross_attn_bias,
                  start):
         cfg = self.cfg
-        x, k_pool, v_pool, cross_k, cross_v, li = carry
+        x, k_pool, v_pool, scale_pool, cross_k, cross_v, li = carry
 
         def _mln(name):
             return make_norm(cfg, name)
@@ -568,11 +610,11 @@ class _ScanDecoderLayerKV(nn.Module):
         residual = x
         if cfg.normalize_before:
             x = _mln("self_attn_layer_norm")(x)
-        x, k_pool, v_pool = _ScanSelfAttention(
+        x, k_pool, v_pool, scale_pool = _ScanSelfAttention(
             cfg, mode=self.mode, causal=self.causal,
             use_xpos=cfg.xpos_rel_pos, page=self.page, chunk=self.chunk,
             pages_per_layer=self.pages_per_layer, name="self_attn",
-        )(x, k_pool, v_pool, li, start, self_key_padding_mask,
+        )(x, k_pool, v_pool, scale_pool, li, start, self_key_padding_mask,
           self_attn_bias)
         x = residual * self.alpha + x
         if not cfg.normalize_before:
@@ -598,7 +640,8 @@ class _ScanDecoderLayerKV(nn.Module):
         x = residual * self.alpha + x
         if not cfg.normalize_before:
             x = _mln("final_layer_norm")(x)
-        return (x, k_pool, v_pool, cross_k, cross_v, li + 1), None
+        return (x, k_pool, v_pool, scale_pool, cross_k, cross_v,
+                li + 1), None
 
 
 def stack_layer_params(params: dict, num_layers: int, prefix: str = "layers_",
@@ -797,12 +840,21 @@ class Decoder(nn.Module):
             L, B, T = cfg.num_layers, x.shape[0], x.shape[1]
             H, D = cfg.num_heads, cfg.head_dim
             page, chunk, pp = _scan_pool_geometry(cache_size)
+            kv_int8 = cfg.kv_cache_dtype == "int8"
+            pool_dt = jnp.int8 if kv_int8 else cfg.dtype
             kp = self.variable(
                 "cache", "kv_pool_key", jnp.zeros,
-                (B, L * pp, page, H * D), cfg.dtype)
+                (B, L * pp, page, H * D), pool_dt)
             vp = self.variable(
                 "cache", "kv_pool_value", jnp.zeros,
-                (B, L * pp, page, H * D), cfg.dtype)
+                (B, L * pp, page, H * D), pool_dt)
+            if kv_int8:
+                sp = self.variable(
+                    "cache", "kv_pool_scale", jnp.zeros,
+                    (B, L * pp // chunk, 8, chunk * page), jnp.float32)
+                spv = sp.value
+            else:
+                spv = jnp.zeros((), jnp.float32)  # dummy carry leaf
             idx = self.variable(
                 "cache", "cache_index", lambda: jnp.zeros((), jnp.int32))
             start = (jnp.zeros((), jnp.int32) if mode == "prefill"
@@ -830,7 +882,7 @@ class Decoder(nn.Module):
                 in_axes=nn.broadcast,
                 length=L,
             )
-            carry = (x, kp.value, vp.value, ckv, cvv,
+            carry = (x, kp.value, vp.value, spv, ckv, cvv,
                      jnp.zeros((), jnp.int32))
             carry, _ = scan_cls(
                 cfg, has_cross_attention=self.has_cross_attention,
@@ -838,7 +890,9 @@ class Decoder(nn.Module):
                 chunk=chunk, pages_per_layer=pp, name="layers",
             )(carry, encoder_out, self_key_padding_mask,
               encoder_padding_mask, self_attn_bias, None, start)
-            x, kp.value, vp.value, ckv, cvv, _ = carry
+            x, kp.value, vp.value, spv, ckv, cvv, _ = carry
+            if kv_int8:
+                sp.value = spv
             if self.has_cross_attention:
                 ck.value, cv.value = ckv, cvv
             if cfg.normalize_before:

@@ -255,6 +255,9 @@ class UniGPTConfig:
     scan_layers: bool = False  # lax.scan the decoder stack over stacked
     # params (decode dispatch killer — core/config.py scan_layers). Convert
     # a looped checkpoint with models.kosmos.stack_unigpt_params.
+    kv_cache_dtype: str = "model"  # "int8": per-token int8 KV in the
+    # scanned decode pool (halves the ctx-dependent slab stream;
+    # core/config.py kv_cache_dtype)
     quant_lm_head: bool = False  # int8 output projection (conversion-only:
     # quantize_lm_head builds it from the tied embedding). bs=1 decode
     # streams the [V, E] head every step — 333 MB bf16 = 0.44 ms at
@@ -278,6 +281,7 @@ class UniGPTConfig:
             dtype=self.dtype, param_dtype=self.param_dtype,
             use_flash=self.use_flash, quant_weights=self.quant_weights,
             scan_layers=self.scan_layers,
+            kv_cache_dtype=self.kv_cache_dtype,
         )
 
 

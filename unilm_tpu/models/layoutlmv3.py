@@ -376,9 +376,13 @@ class LayoutLMv3Model(nn.Module):
             # HEAD-MAJOR [H, B, T, S]: the one-hot dot's natural output
             # order — the [B, H, *] transpose of this 386 MB plane lowers
             # to an XLA while-loop worth ~16 ms/step (profiled); the doc
-            # kernel streams head-major natively.
+            # kernel streams head-major natively. Bias dtype FOLLOWS the
+            # compute dtype: hardcoded bf16 silently deviated from the
+            # reference's f32 bias math in exact-parity (f32) runs
+            # (round-4 advisor finding).
+            bias_dt = jnp.bfloat16 if cfg.dtype == jnp.bfloat16 else cfg.dtype
             dense = jax.lax.stop_gradient(
-                materialize_bias(sym, jnp.bfloat16, layout="hbts"))
+                materialize_bias(sym, bias_dt, layout="hbts"))
             if dense.shape[1] == 1 and Bq > 1:
                 dense = jnp.broadcast_to(
                     dense, (dense.shape[0], Bq) + dense.shape[2:])
@@ -387,7 +391,7 @@ class LayoutLMv3Model(nn.Module):
             # receives that sum as its cotangent (bucket_bias.py)
             vbias = bias_grad_collector(
                 tables, packed, (cfg.num_heads, Bq, Tv, Sv),
-                "bfloat16", head_scale, "hbts")
+                jnp.dtype(bias_dt).name, head_scale, "hbts")
             bias = HeadMajorBias(hbts=dense + vbias)
         else:
             bias = relative_attention_bias(
