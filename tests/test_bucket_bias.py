@@ -1,11 +1,12 @@
-"""Fused bucket-bias attention (ops/bucket_bias.py) vs the dense oracle.
+"""Symbolic bucket-bias machinery (ops/bucket_bias.py) vs dense oracles.
 
-The kernel reconstructs LayoutLMv3-style bucketed relative bias tiles
-in-VMEM from a packed [B, T, S] index plane + [nb, H] tables
-(modeling_layoutlmv3.py:507-577); these tests check forward and gradient
-parity (incl. the table gradients produced by the one-hot contraction of
-the kernel-emitted ds) against materialized-bias XLA attention, in Pallas
-interpret mode on the CPU mesh.
+The production LayoutLMv3 bias path is materialize-head-major + stream
+(models/layoutlmv3.py fused_bias -> ops/doc_attention); these tests pin
+the pieces it is built on: plane packing, the one-hot MXU materialization
+against the original relative_attention_bias, and the shared-table
+gradient collector (ONE contraction of the layer-summed logit grads).
+The in-kernel VPU-gather attention was pruned in round 5 (measured slower
+than materialize+stream at every supported shape — module docstring).
 """
 
 import numpy as np
@@ -14,12 +15,12 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from unilm_tpu.ops.attention import dot_product_attention
+from unilm_tpu.ops.attention import attention, dot_product_attention
 from unilm_tpu.ops.bucket_bias import (
     BucketBias,
-    bucket_bias_attention,
     materialize_bias,
     pack_bucket_planes,
+    unpack_field,
 )
 
 
@@ -46,70 +47,50 @@ def dense_ref(q, k, v, bb, kpm, scale):
     return dot_product_attention(q, k, v, bias=bias, mask=mask, scale=scale)
 
 
-@pytest.mark.parametrize("bcast", [False, True])
 @pytest.mark.parametrize("nbs", [(32, 64, 64), (48,)])
-def test_forward_parity(bcast, nbs):
-    q, k, v, planes, tables, kpm = make_case(nbs=nbs, bcast=bcast)
-    bb = BucketBias(packed=pack_bucket_planes(*planes), tables=tables, scale=0.25)
-    out = bucket_bias_attention(q, k, v, bb, kpm, scale=0.125, interpret=True)
+def test_pack_unpack_roundtrip(nbs):
+    _, _, _, planes, _, _ = make_case(nbs=nbs)
+    packed = pack_bucket_planes(*planes)
+    for t, p in enumerate(planes):
+        np.testing.assert_array_equal(
+            np.asarray(unpack_field(packed, t)), np.asarray(p))
+
+
+@pytest.mark.parametrize("bcast", [False, True])
+def test_attention_dispatch_materializes(bcast):
+    """attention() accepts a symbolic BucketBias and matches the dense
+    oracle (the dispatch materializes, then streams)."""
+    q, k, v, planes, tables, kpm = make_case(bcast=bcast)
+    bb = BucketBias(packed=pack_bucket_planes(*planes), tables=tables,
+                    scale=0.25)
+    out = attention(q, k, v, bias=bb, key_padding_mask=kpm, scale=0.125,
+                    use_flash=False)
     ref = dense_ref(q, k, v, bb, kpm, scale=0.125)
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
 
 
-def test_forward_parity_multiblock():
-    # T spans several q-blocks (block_q=16 -> Tp=48, 3 blocks + row padding)
-    q, k, v, planes, tables, kpm = make_case(T=41, seed=3)
-    bb = BucketBias(packed=pack_bucket_planes(*planes), tables=tables, scale=0.3)
-    out = bucket_bias_attention(
-        q, k, v, bb, kpm, scale=0.25, interpret=True, block_q=16
-    )
-    ref = dense_ref(q, k, v, bb, kpm, scale=0.25)
-    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
-
-
-@pytest.mark.parametrize("bcast", [False, True])
-def test_grad_parity(bcast):
-    q, k, v, planes, tables, kpm = make_case(T=29, bcast=bcast, seed=1)
-    packed = pack_bucket_planes(*planes)
-    g = jnp.asarray(np.random.RandomState(7).randn(*q.shape), jnp.float32)
-
-    def fused_loss(q, k, v, tables):
-        bb = BucketBias(packed=packed, tables=tables, scale=0.25)
-        out = bucket_bias_attention(
-            q, k, v, bb, kpm, scale=0.125, interpret=True, block_q=16
-        )
-        return jnp.sum(out * g)
-
-    def dense_loss(q, k, v, tables):
-        bb = BucketBias(packed=packed, tables=tables, scale=0.25)
-        return jnp.sum(dense_ref(q, k, v, bb, kpm, scale=0.125) * g)
-
-    gf = jax.grad(fused_loss, argnums=(0, 1, 2, 3))(q, k, v, tables)
-    gd = jax.grad(dense_loss, argnums=(0, 1, 2, 3))(q, k, v, tables)
-    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gd)):
-        np.testing.assert_allclose(a, b, atol=5e-5, rtol=5e-4)
-
-
 @pytest.mark.parametrize("bcast", [False, True])
 def test_collector_grad_parity(bcast):
-    """Table grads via the shared bias_grad_collector (vbias route): two
-    'layers' share the tables; JAX must sum their ds cotangents and the
-    collector's single contraction must equal the dense per-layer grads."""
+    """Table grads via the shared bias_grad_collector (vbias route, the
+    production pattern: bias = stop_grad(dense) + vbias): two 'layers'
+    share the tables; JAX must sum their cotangents and the collector's
+    single contraction must equal the dense per-layer grads."""
     from unilm_tpu.ops.bucket_bias import bias_grad_collector
 
     q, k, v, planes, tables, kpm = make_case(T=29, bcast=bcast, seed=5)
     packed = pack_bucket_planes(*planes)
     B, T, H = q.shape[0], q.shape[1], q.shape[2]
     g = jnp.asarray(np.random.RandomState(9).randn(*q.shape), jnp.float32)
+    mask = kpm[:, None, None, :]
 
-    def fused_loss(q, k, v, tables):
+    def collected_loss(q, k, v, tables):
+        bb = BucketBias(packed=packed, tables=tables, scale=0.25)
+        dense = jax.lax.stop_gradient(materialize_bias(bb, jnp.float32))
         vbias = bias_grad_collector(
-            tables, packed, (B, H, T, T), "float32", 0.25)
-        bb = BucketBias(packed=packed, tables=tables, scale=0.25, vbias=vbias)
-        o1 = bucket_bias_attention(q, k, v, bb, kpm, scale=0.125,
-                                   interpret=True, block_q=16)
-        o2 = bucket_bias_attention(o1, k, v, bb, kpm, scale=0.125,
-                                   interpret=True, block_q=16)
+            tables, packed, (dense.shape[0], H, T, T), "float32", 0.25)
+        bias = dense + vbias
+        o1 = dot_product_attention(q, k, v, bias=bias, mask=mask, scale=0.125)
+        o2 = dot_product_attention(o1, k, v, bias=bias, mask=mask, scale=0.125)
         return jnp.sum(o2 * g)
 
     def dense_loss(q, k, v, tables):
@@ -118,15 +99,15 @@ def test_collector_grad_parity(bcast):
         o2 = dense_ref(o1, k, v, bb, kpm, scale=0.125)
         return jnp.sum(o2 * g)
 
-    gf = jax.grad(fused_loss, argnums=(0, 1, 2, 3))(q, k, v, tables)
+    gf = jax.grad(collected_loss, argnums=(0, 1, 2, 3))(q, k, v, tables)
     gd = jax.grad(dense_loss, argnums=(0, 1, 2, 3))(q, k, v, tables)
     for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gd)):
         np.testing.assert_allclose(a, b, atol=5e-5, rtol=5e-4)
 
 
 def test_model_fused_matches_materialized(monkeypatch):
-    """LayoutLMv3 forward+grads identical with fused_bias on (interpret
-    kernel) vs off (materialized relative_attention_bias path)."""
+    """LayoutLMv3 forward+grads identical with fused_bias on (streaming
+    head-major path) vs off (materialized relative_attention_bias path)."""
     monkeypatch.setenv("UNILM_TPU_FLASH_INTERPRET", "1")
     import dataclasses
 

@@ -95,27 +95,16 @@ def attention(
     S = k.shape[1]
 
     # Symbolic bucketed bias (LayoutLMv3 1D+2D tables, ops/bucket_bias.py):
-    # on TPU the fused kernel reconstructs every bias tile in-VMEM from the
-    # packed [B, T, S] bucket plane — no [B, H, T, S] bias is ever
-    # materialized in either direction. Anywhere the kernel doesn't apply,
-    # materialize and fall through to the ordinary dispatch below.
+    # materialize via the one-hot MXU lookup and fall through to the
+    # ordinary dispatch below (the streaming doc kernel takes it from
+    # there). The in-kernel VPU-gather rebuild was pruned in round 5 —
+    # measured slower than materialize+stream at every supported shape
+    # (ops/bucket_bias.py module docstring, PERFORMANCE.md).
     from unilm_tpu.ops.bucket_bias import BucketBias
 
     if isinstance(bias, BucketBias):
         from unilm_tpu.ops import bucket_bias as bb
-        from unilm_tpu.ops import flash_attention as fa
 
-        if (
-            use_flash
-            and dropout_rate == 0.0
-            and fa.is_available()
-            and bb.supports(q, k, bias, causal=causal, window=window,
-                            kv_len=kv_len, q_offset=q_offset)
-        ):
-            return bb.bucket_bias_attention(
-                q, k, v, bias, key_padding_mask, scale,
-                interpret=not fa_on_tpu(),
-            )
         bias = bb.materialize_bias(bias, q.dtype)
 
     # Head-major [H, B, T, S] bias (doc_attention.HeadMajorBias — the

@@ -1,49 +1,47 @@
-"""Fused bucket-bias flash attention: the bias tile is reconstructed in-VMEM.
+"""Symbolic bucketed attention bias: packed planes, one-hot MXU lookup,
+shared-table gradient collector.
 
 LayoutLMv3's 1D+2D bucketed relative attention bias
 (layoutlmv3/layoutlmft/models/layoutlmv3/modeling_layoutlmv3.py:507-577,
 added to logits as (rel_pos + rel_2d_pos)/sqrt(d) at :318-321) is a
 rank-deficient function of tiny inputs: per-example [B, T] positions / bbox
 centers bucketed into <=64 bins per table, then looked up in learned
-[nb, H] tables. Round 3 materialized the resulting [B, H, T, S] bias and
-streamed it through the blocked flash kernel — the stream (plus the f32
-dbias it forced in the backward) kept the FUNSD train step at 0.245 MFU.
+[nb, H] tables. This module carries the machinery the production fused
+path (models/layoutlmv3.py fused_bias) is built on:
 
-This op never materializes the bias. The host packs the three bucket
-planes into ONE [B, T, S] int32 (6 bits per field); the kernels rebuild
-each [block_q, 128]-lane bias chunk in-VMEM with Mosaic's lane-wise
-dynamic gather (`jnp.take_along_axis` on a 128-lane operand — the one
-gather form the TPU vector unit supports natively) from VMEM-resident
-[ntab, H, 128] tables. The packed plane is 4 bytes/element vs
-2*H bytes/element for a bf16 bias — and it is DMA'd once per q-block and
-reused across all H head steps (the head grid dimension is innermost, so
-the block index map is constant in h and Pallas skips the re-fetch).
+- `pack_bucket_planes`: up to three <64-bucket planes packed into one
+  [B, T, S] int32 (6 bits per field).
+- `materialize_bias`: the planes -> dense bias via a multi-dim one-hot
+  dot_general (an MXU contraction — the naive `table[f]` gather
+  serializes on the TPU scalar path, 29x slower measured), emitted
+  head-major so no 386 MB transpose ever runs.
+- `bias_grad_collector`: tables are shared by every layer, so the true
+  table gradient is ONE one-hot contraction of the layer-SUMMED logit
+  grads; the collector's zero tensor rides the bias and receives that
+  sum as its cotangent.
 
-Backward: the kernel recomputes the bias chunks the same way, emits
-dq / per-q-block partial dk,dv / and the logit gradient ds in bf16; the
-table gradients are ONE one-hot MXU contraction of ds against the packed
-plane per table (the transpose of the forward lookup), done in XLA —
-[nb, H] outputs, no [B, H, T, S] f32 dbias anywhere.
-
-Scope: non-causal full-kv self-attention with S <= 2048 (the whole key
-axis fits one VMEM block, so no online-softmax state) — exactly the
-document-AI encoder shapes (FUNSD 709, 1024-box docs). Everything else
-falls back to the materialized-bias paths in ops/attention.py.
+HISTORY (prove-or-prune, round 5): this module used to also carry an
+in-kernel Pallas attention (`bucket_bias_attention`) that rebuilt bias
+tiles in-VMEM from the packed plane instead of streaming a materialized
+bias. It was measured SLOWER than materialize+stream at every supported
+shape (the VPU lane-gather costs ~2.5 ms/layer-pass vs ~0.5 ms of HBM
+stream at FUNSD S=709, same ratio at S=2048 since both scale with T*S),
+and its claimed S>2048 memory-pressure niche was outside its own support
+envelope (whole-S-in-VMEM design caps at S<=2048). No workload ever
+dispatched to it, so it was deleted; see PERFORMANCE.md for the ablation
+row. The streaming path (materialize head-major + ops/doc_attention)
+is the production LayoutLMv3 bias path.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Any, Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import flax.struct
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
-
-from unilm_tpu.ops.flash_attention import _cdiv, _dot_kwargs
 
 NEG_INF = -1e30
 FIELD_BITS = 6  # up to 64 buckets per table
@@ -179,346 +177,3 @@ def _collector_bwd(shape, dtype, scale, layout, res, g):
 
 
 bias_grad_collector.defvjp(_collector_fwd, _collector_bwd)
-
-
-def _pack_tables(tables: Sequence[jax.Array], scale: float) -> jax.Array:
-    """[ntab, H, 128] f32: transposed, bias-scale folded in, lane-padded."""
-    rows = []
-    for tab in tables:
-        t = (tab.astype(jnp.float32) * scale).T  # [H, nb]
-        rows.append(jnp.pad(t, ((0, 0), (0, 128 - t.shape[1]))))
-    return jnp.stack(rows, axis=0)
-
-
-def _gather_bias_chunk(tt_ref, idx, h, ntab: int):
-    """Rebuild one [bq, 128] f32 bias chunk from packed indices `idx`."""
-    bq = idx.shape[0]
-    acc = None
-    for t in range(ntab):
-        f = (idx >> (FIELD_BITS * t)) & FIELD_MASK
-        row = tt_ref[t, pl.ds(h, 1), :]  # [1, 128]
-        g = jnp.take_along_axis(jnp.broadcast_to(row, (bq, 128)), f, axis=1)
-        acc = g if acc is None else acc + g
-    return acc
-
-
-def _build_bias(bias_ref, p_ref, kpm_ref, tt_ref, h, *, ntab: int, sp: int):
-    """Fill the [bq, Sp] f32 bias scratch (padded/masked cols -> NEG_INF)."""
-    for c in range(sp // 128):
-        sl = slice(c * 128, (c + 1) * 128)
-        acc = _gather_bias_chunk(tt_ref, p_ref[0, :, sl], h, ntab)
-        bias_ref[:, sl] = jnp.where(kpm_ref[0, :, sl] != 0, acc, NEG_INF)
-
-
-def _bb_fwd_kernel(
-    q_ref,    # [1, 1, bq, D] (pre-scaled)
-    k_ref,    # [1, 1, Sp, D]
-    v_ref,
-    p_ref,    # [1, bq, Sp] i32 packed buckets (constant over h steps)
-    kpm_ref,  # [1, 1, Sp] i32 (1 = valid)
-    tt_ref,   # [ntab, H, 128] f32 tables (resident)
-    o_ref,    # [1, 1, bq, D]
-    lse_ref,  # [1, 1, 1, bq]
-    bias_ref,  # scratch [bq, Sp] f32
-    *, ntab: int, sp: int,
-):
-    h = pl.program_id(2)
-    _build_bias(bias_ref, p_ref, kpm_ref, tt_ref, h, ntab=ntab, sp=sp)
-    s = jax.lax.dot_general(
-        q_ref[0, 0], k_ref[0, 0], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, **_dot_kwargs(q_ref.dtype),
-    ) + bias_ref[:]
-    m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=1, keepdims=True)
-    o = jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, **_dot_kwargs(q_ref.dtype),
-    )
-    o_ref[0, 0] = (o / l).astype(o_ref.dtype)
-    lse_ref[0, 0] = jnp.transpose(m + jnp.log(l))
-
-
-def _bb_bwd_kernel(
-    q_ref, k_ref, v_ref, do_ref,
-    lse_ref,    # [1, 1, 1, bq]
-    delta_ref,  # [1, 1, 1, bq]
-    p_ref, kpm_ref, tt_ref,
-    dq_ref,   # [1, 1, bq, D]
-    dkp_ref,  # [1, 1, Sp, D] f32 partial (per q-block)
-    dvp_ref,
-    ds_ref,   # [1, 1, bq, Sp] bf16 logit grads (feeds the table contraction)
-    bias_ref,
-    *, ntab: int, sp: int,
-):
-    h = pl.program_id(2)
-    _build_bias(bias_ref, p_ref, kpm_ref, tt_ref, h, ntab=ntab, sp=sp)
-    s = jax.lax.dot_general(
-        q_ref[0, 0], k_ref[0, 0], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, **_dot_kwargs(q_ref.dtype),
-    ) + bias_ref[:]
-    lse_col = jnp.transpose(lse_ref[0, 0])  # [bq, 1]
-    # masked/padded columns carry bias = NEG_INF -> p underflows to exactly 0
-    prob = jnp.exp(s - lse_col)
-    do = do_ref[0, 0].astype(jnp.float32)
-    dvp_ref[0, 0] = jax.lax.dot_general(
-        prob, do, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, **_dot_kwargs(q_ref.dtype),
-    )
-    dp = jax.lax.dot_general(
-        do, v_ref[0, 0].astype(jnp.float32), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, **_dot_kwargs(q_ref.dtype),
-    )
-    ds = prob * (dp - jnp.transpose(delta_ref[0, 0]))
-    ds_ref[0, 0] = ds.astype(ds_ref.dtype)
-    dsc = ds.astype(k_ref.dtype)
-    dq_ref[0, 0] = jax.lax.dot_general(
-        dsc, k_ref[0, 0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, **_dot_kwargs(q_ref.dtype),
-    ).astype(dq_ref.dtype)
-    dkp_ref[0, 0] = jax.lax.dot_general(
-        dsc, q_ref[0, 0], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, **_dot_kwargs(q_ref.dtype),
-    )
-
-
-def _pad_to(x, axis, size):
-    pad = size - x.shape[axis]
-    if pad == 0:
-        return x
-    widths = [(0, 0)] * x.ndim
-    widths[axis] = (0, pad)
-    return jnp.pad(x, widths)
-
-
-def _bb_impl(qs, k, v, packed, kpm, tt, cfg, interpret):
-    """qs: [B, H, Tp, D] pre-scaled; k/v: [B, H, Sp, D]; packed [Bp, Tp, Sp];
-    kpm [B, 1, Sp] i32; tt [ntab, H, 128]. Returns (out, lse[B, H, nq, bq])."""
-    ntab, bq, bcast_p = cfg[:3]
-    B, H, Tp, D = qs.shape
-    Sp = k.shape[2]
-    nq = Tp // bq
-
-    qi = lambda b, i, h: (b, h, i, 0)
-    kv = lambda b, i, h: (b, h, 0, 0)
-    pi = lambda b, i, h: (0 if bcast_p else b, i, 0)
-    in_specs = [
-        pl.BlockSpec((1, 1, bq, D), qi),
-        pl.BlockSpec((1, 1, Sp, D), kv),
-        pl.BlockSpec((1, 1, Sp, D), kv),
-        pl.BlockSpec((1, bq, Sp), pi),
-        pl.BlockSpec((1, 1, Sp), lambda b, i, h: (b, 0, 0)),
-        pl.BlockSpec((ntab, H, 128), lambda b, i, h: (0, 0, 0)),
-    ]
-    out, lse = pl.pallas_call(
-        functools.partial(_bb_fwd_kernel, ntab=ntab, sp=Sp),
-        grid=(B, nq, H),
-        in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((1, 1, bq, D), qi),
-            # [B, H*nq, 1, bq]: sublane dim 1 == array dim (Mosaic tiling
-            # rule), lane-major rows — same layout as _flash_forward's lse
-            pl.BlockSpec((1, 1, 1, bq), lambda b, i, h, nq=nq: (b, h * nq + i, 0, 0)),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, H, Tp, D), qs.dtype),
-            jax.ShapeDtypeStruct((B, H * nq, 1, bq), jnp.float32),
-        ),
-        scratch_shapes=[pltpu.VMEM((bq, Sp), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * B * H * Tp * Sp * D,
-            bytes_accessed=(qs.size + 2 * k.size) * qs.dtype.itemsize
-            + B * Tp * Sp * 4,
-            transcendentals=B * H * Tp * Sp,
-        ),
-        interpret=interpret,
-    )(qs, k, v, packed, kpm, tt)
-    return out, lse
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
-def _bb_attn(qs, k, v, packed, kpm, tt, vbias, cfg, interpret):
-    # vbias (a zeros from bias_grad_collector, or None) is never read: it
-    # exists so the backward can hand the logit gradient `ds` to the
-    # model-level collector instead of contracting tables per layer.
-    return _bb_impl(qs, k, v, packed, kpm, tt, cfg, interpret)[0]
-
-
-def _bb_attn_fwd(qs, k, v, packed, kpm, tt, vbias, cfg, interpret):
-    out, lse = _bb_impl(qs, k, v, packed, kpm, tt, cfg, interpret)
-    return out, (qs, k, v, packed, kpm, tt, out, lse)
-
-
-def _bb_attn_bwd(cfg, interpret, res, g):
-    ntab, bq, bcast_p, T, S, vdtype = cfg
-    has_vbias = vdtype is not None
-    qs, k, v, packed, kpm, tt, out, lse = res
-    B, H, Tp, D = qs.shape
-    Sp = k.shape[2]
-    nq = Tp // bq
-    delta = jnp.sum(
-        g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
-    ).reshape(B, H * nq, 1, bq)
-
-    qi = lambda b, i, h: (b, h, i, 0)
-    kv = lambda b, i, h: (b, h, 0, 0)
-    pi = lambda b, i, h: (0 if bcast_p else b, i, 0)
-    ri = lambda b, i, h, nq=nq: (b, h * nq + i, 0, 0)
-    in_specs = [
-        pl.BlockSpec((1, 1, bq, D), qi),
-        pl.BlockSpec((1, 1, Sp, D), kv),
-        pl.BlockSpec((1, 1, Sp, D), kv),
-        pl.BlockSpec((1, 1, bq, D), qi),       # dO
-        pl.BlockSpec((1, 1, 1, bq), ri),       # lse
-        pl.BlockSpec((1, 1, 1, bq), ri),       # delta
-        pl.BlockSpec((1, bq, Sp), pi),
-        pl.BlockSpec((1, 1, Sp), lambda b, i, h: (b, 0, 0)),
-        pl.BlockSpec((ntab, H, 128), lambda b, i, h: (0, 0, 0)),
-    ]
-    dq, dkp, dvp, ds = pl.pallas_call(
-        functools.partial(_bb_bwd_kernel, ntab=ntab, sp=Sp),
-        grid=(B, nq, H),
-        in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((1, 1, bq, D), qi),
-            # per-q-block dk/dv partials, summed over nq outside
-            pl.BlockSpec((1, 1, Sp, D), lambda b, i, h: (b, i * H + h, 0, 0)),
-            pl.BlockSpec((1, 1, Sp, D), lambda b, i, h: (b, i * H + h, 0, 0)),
-            pl.BlockSpec((1, 1, bq, Sp), qi),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, H, Tp, D), qs.dtype),
-            jax.ShapeDtypeStruct((B, nq * H, Sp, D), jnp.float32),
-            jax.ShapeDtypeStruct((B, nq * H, Sp, D), jnp.float32),
-            # ds feeds only the [nb, H] table contraction; bf16 noise there
-            # is below the bf16 matmul floor, and halving the write matters
-            # (it is the largest backward HBM term). f32 inputs keep f32 ds
-            # for exact-parity runs.
-            jax.ShapeDtypeStruct(
-                (B, H, Tp, Sp),
-                jnp.float32 if qs.dtype == jnp.float32 else jnp.bfloat16,
-            ),
-        ),
-        scratch_shapes=[pltpu.VMEM((bq, Sp), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=11 * B * H * Tp * Sp * D,
-            bytes_accessed=(qs.size * 2 + 2 * k.size) * qs.dtype.itemsize
-            + B * Tp * Sp * (4 + 2 * H),
-            transcendentals=B * H * Tp * Sp,
-        ),
-        interpret=interpret,
-    )(qs, k, v, g, lse, delta, packed, kpm, tt)
-
-    dk = dkp.reshape(B, nq, H, Sp, D).sum(axis=1).astype(k.dtype)
-    dv = dvp.reshape(B, nq, H, Sp, D).sum(axis=1).astype(v.dtype)
-
-    f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
-    if has_vbias:
-        # Route ds to the shared bias_grad_collector: one contraction per
-        # STEP instead of per layer. ds carries zeros at padded/masked
-        # positions (bias = NEG_INF there), so the slice loses nothing.
-        dvbias = ds[:, :, :T, :S].astype(vdtype)
-        return dq, dk, dv, f0(packed), f0(kpm), jnp.zeros_like(tt), dvbias
-
-    # --- standalone path (no collector): table gradients via one one-hot
-    # MXU contraction of ds against the packed plane per table (the
-    # transpose of the forward lookup; cf. the 29x gather-vs-matmul finding
-    # in models/layoutlmv3._bucket_take). ds already carries zeros at
-    # masked/padded positions, so no re-masking is needed.
-    if bcast_p:
-        dsf = jnp.sum(ds.astype(jnp.float32), axis=0)  # [H, Tp, Sp]
-        flat = dsf.reshape(H, -1)
-        pk = packed[0].reshape(-1)
-    else:
-        flat = jnp.moveaxis(ds, 1, 0).reshape(H, -1)  # [H, B*Tp*Sp]
-        pk = packed.reshape(-1)
-    dtt = []
-    for t in range(ntab):
-        f = (pk >> (FIELD_BITS * t)) & FIELD_MASK
-        oh = jax.nn.one_hot(f, 128, dtype=flat.dtype)  # [N, 128]
-        dtab = jax.lax.dot_general(
-            flat, oh, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [H, 128]
-        dtt.append(dtab)
-    dtt = jnp.stack(dtt, axis=0).astype(tt.dtype)  # [ntab, H, 128]
-
-    return dq, dk, dv, f0(packed), f0(kpm), dtt, None
-
-
-_bb_attn.defvjp(_bb_attn_fwd, _bb_attn_bwd)
-
-
-def supports(q, k, bb: BucketBias, *, causal, window, kv_len, q_offset) -> bool:
-    B, T, H, D = q.shape
-    S = k.shape[1]
-    if causal or window or kv_len is not None or q_offset is not None:
-        return False
-    if T <= 8 or S > 2048 or D > 256:
-        return False
-    if not (1 <= len(bb.tables) <= MAX_TABLES):
-        return False
-    if any(t.shape[0] > (1 << FIELD_BITS) or t.shape[1] != H for t in bb.tables):
-        return False
-    if bb.packed.shape[0] not in (1, B):
-        return False
-    if bb.vbias is not None and bb.vbias.shape != (B, H, T, S):
-        return False
-    return bb.packed.shape[1] == T and bb.packed.shape[2] == S
-
-
-def bucket_bias_attention(
-    q: jax.Array,  # [B, T, H, D]
-    k: jax.Array,  # [B, S, H, D]
-    v: jax.Array,
-    bb: BucketBias,
-    key_padding_mask: Optional[jax.Array] = None,  # bool [B, S]
-    scale: Optional[float] = None,
-    interpret: Optional[bool] = None,
-    block_q: Optional[int] = None,
-) -> jax.Array:
-    """Entry point; layout matches ops.attention.attention."""
-    B, T, H, D = q.shape
-    S = k.shape[1]
-    if scale is None:
-        scale = D**-0.5
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-
-    Sp = _cdiv(S, 128) * 128
-    # Whole-T q-block when it fits VMEM (<= 1024 rows: bias scratch + s
-    # stay under ~12 MB): nq == 1 means the backward's per-q-block dk/dv
-    # partials degenerate to a single [B, H, Sp, D] write — no [B, nq*H,
-    # Sp, D] f32 partial tensors, the round-4 bwd OOM term.
-    Tp8 = _cdiv(T, 8) * 8
-    if block_q is None:  # auto: whole-T q-block when it fits VMEM
-        block_q = 1024
-    bq = Tp8 if Tp8 <= block_q else min(block_q, Tp8)
-    Tp = _cdiv(T, bq) * bq
-
-    qs = _pad_to((q * scale).swapaxes(1, 2), 2, Tp)
-    kt = _pad_to(k.swapaxes(1, 2), 2, Sp)
-    vt = _pad_to(v.swapaxes(1, 2), 2, Sp)
-    packed = _pad_to(_pad_to(bb.packed, 1, Tp), 2, Sp)
-    if key_padding_mask is None:
-        kpm = jnp.ones((B, S), jnp.int32)
-    else:
-        kpm = key_padding_mask.astype(jnp.int32)
-    kpm = _pad_to(kpm, 1, Sp)[:, None, :]
-    tt = _pack_tables(bb.tables, bb.scale)
-
-    vbias = bb.vbias
-    if vbias is not None:
-        # Table grads flow ONLY through the collector; cut the tt path so
-        # they are not double-counted.
-        tt = jax.lax.stop_gradient(tt)
-    vdtype = None if vbias is None else jnp.dtype(vbias.dtype).name
-    cfg = (len(bb.tables), bq, packed.shape[0] == 1 and B > 1, T, S, vdtype)
-    out = _bb_attn(qs, kt, vt, packed, kpm, tt, vbias, cfg, interpret)
-    return out[:, :, :T, :].swapaxes(1, 2)

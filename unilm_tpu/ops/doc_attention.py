@@ -398,8 +398,8 @@ def _doc_attention_bwd(scale, block_q, interpret, hmajor, res, g):
     dq, dk, dv, dbias = doc_backward(
         q, k, v, bias, kpm, g, scale, block_q=block_q, interpret=interpret,
         hmajor=hmajor)
-    # bool/int primals take float0 cotangents (like bucket_bias._bb_attn_bwd;
-    # a same-dtype zeros array is fragile under stricter JAX versions)
+    # bool/int primals take float0 cotangents (like bucket_bias's collector
+    # bwd; a same-dtype zeros array is fragile under stricter JAX versions)
     import numpy as _np
 
     f0 = None if kpm is None else _np.zeros(kpm.shape, jax.dtypes.float0)
