@@ -207,13 +207,19 @@ def bench_decode(on_tpu: bool):
 
 def bench_serving(on_tpu: bool):
     """Line 5 — serving engine decode throughput (tokens/sec) at the
-    standard config: 1.3B text decoder, B=8 continuous-batching slots,
-    ctx 2048, int8 KV pool, contiguous-run slab kernel
-    (benchmarks/serving_bench.py --paths run --kv int8). Audits the
-    round-1 self-reported 1,460 tok/s (vs_baseline = ours / 1460)."""
+    recommended single-chip config: 1.3B text decoder, B=8
+    continuous-batching slots, ctx 2048, int8 KV pool + int8 weight-only
+    projections + scanned layer stack, contiguous-run slab kernel
+    (ServingConfig(kv_dtype='int8', weight_dtype='int8') on a
+    scan_layers model). Audits the round-1 self-reported 1,460 tok/s
+    (vs_baseline = ours / 1460)."""
+    import dataclasses
+
     import numpy as np
 
-    from unilm_tpu.models.kosmos import UniGPT, UniGPTConfig, kosmos2_5
+    from unilm_tpu.models.kosmos import (UniGPT, UniGPTConfig, kosmos2_5,
+                                         stack_unigpt_params)
+    from unilm_tpu.ops.quant import quantize_dense_tree
     from unilm_tpu.runtime.serving import PagedGPT
 
     if on_tpu:
@@ -229,6 +235,14 @@ def bench_serving(on_tpu: bool):
         lambda r: model.init(r, jnp.ones((1, 8), jnp.int32))["params"]
     )(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
+    if on_tpu:
+        params = stack_unigpt_params(dict(params), cfg.num_layers)
+        _PROJ = {"q_proj", "k_proj", "v_proj", "out_proj",
+                 "fc1", "fc2", "fc3"}
+        params = quantize_dense_tree(
+            params, predicate=lambda p: p[-2] in _PROJ and any(
+                s.startswith("layers") for s in p))
+        cfg = dataclasses.replace(cfg, scan_layers=True, quant_weights=True)
     paged = PagedGPT(cfg)
     H, D = cfg.num_heads, cfg.embed_dim // cfg.num_heads
     chunk = 8

@@ -489,3 +489,44 @@ def test_chunked_prefill_bounds_decode_stalls():
     unchunked = max_prefill_tokens_between_decodes(128)
     assert chunked <= 16, chunked
     assert unchunked >= len(long_prompt), unchunked
+
+
+def test_scan_layers_engine_matches_greedy():
+    """cfg.scan_layers: the serving stack runs as ONE lax.scan over stacked
+    params (looped checkpoint auto-converted by the engine); greedy streams
+    match the contiguous reference exactly."""
+    cfg_loop = tiny_cfg(subln=True, xpos_rel_pos=True)
+    cfg = tiny_cfg(subln=True, xpos_rel_pos=True, scan_layers=True)
+    params = init_params(cfg_loop)  # looped tree; engine stacks it
+    eos = 63
+    scfg = ServingConfig(max_batch=2, page_size=8, num_pages=32,
+                         max_pages_per_seq=8, max_new_tokens=6, eos=eos,
+                         prefill_bucket=8)
+    eng = ServingEngine(cfg, scfg, params)
+    prompts = {"a": [5, 9, 11], "b": [7, 3, 3, 8, 12, 4, 30]}
+    for rid, p in prompts.items():
+        eng.submit(rid, p)
+    outs = eng.run()
+    for rid, p in prompts.items():
+        ref = reference_greedy(cfg_loop, params, p, 6, eos)
+        np.testing.assert_array_equal(np.asarray(outs[rid]), ref,
+                                      err_msg=rid)
+
+
+def test_scan_layers_engine_int8_weights_and_kv():
+    """scan_layers + weight_dtype=int8 + kv_dtype=int8 (the fast single-chip
+    serving config): streams still match the bf16 looped reference on a tiny
+    model (quantization error below the argmax margin here)."""
+    cfg_loop = tiny_cfg(subln=True, xpos_rel_pos=True)
+    cfg = tiny_cfg(subln=True, xpos_rel_pos=True, scan_layers=True)
+    params = init_params(cfg_loop)
+    eos = 63
+    scfg = ServingConfig(max_batch=2, page_size=8, num_pages=32,
+                         max_pages_per_seq=8, max_new_tokens=5, eos=eos,
+                         prefill_bucket=8, weight_dtype="int8",
+                         kv_dtype="int8")
+    eng = ServingEngine(cfg, scfg, params)
+    eng.submit("a", [5, 9, 11])
+    outs = eng.run()
+    ref = reference_greedy(cfg_loop, params, [5, 9, 11], 5, eos)
+    np.testing.assert_array_equal(np.asarray(outs["a"]), ref)

@@ -66,6 +66,9 @@ def main(argv=None):
     p.add_argument("--image_end_id", type=int, default=100284)
     p.add_argument("--ocr_id", type=int, default=100288)
     p.add_argument("--md_id", type=int, default=100289)
+    p.add_argument("--no_scan", action="store_true",
+                   help="unrolled decoder loop + per-layer caches instead "
+                        "of the scanned stack with the int8-KV page pool")
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--fp32", action="store_true")
     p.add_argument("--tiny", action="store_true",
@@ -124,20 +127,35 @@ def build_pipeline(args):
             lambda r: model.init(r, tokens, dummy, img_mask, segs)["params"]
         )(jax.random.PRNGKey(0))
 
-    if getattr(args, "int8", False):
-        # decoder projections only; embeddings/norms/towers stay full
-        # precision (same predicate as runtime/serving.py)
+    if not getattr(args, "no_scan", False):
+        # scanned decoder stack + int8 KV: the round-5 interactive decode
+        # path (2.53 ms/token at 2k ctx with --int8; PERFORMANCE.md)
         import dataclasses
 
+        from unilm_tpu.models.kosmos import stack_unigpt_params
+
+        params = stack_unigpt_params(dict(params), cfg.num_layers)
+        cfg = dataclasses.replace(cfg, scan_layers=True,
+                                  kv_cache_dtype="int8")
+        model = UniGPT(cfg)
+
+    if getattr(args, "int8", False):
+        # decoder projections + tied LM head; embeddings/norms/towers stay
+        # full precision (same predicate as runtime/serving.py)
+        import dataclasses
+
+        from unilm_tpu.models.kosmos import quantize_lm_head
         from unilm_tpu.ops.quant import quantize_dense_tree
 
         _PROJ = {"q_proj", "k_proj", "v_proj", "out_proj", "fc1", "fc2", "fc3"}
         params = quantize_dense_tree(
             params,
             predicate=lambda pth: pth[-2] in _PROJ and any(
-                s.startswith("layers_") for s in pth),
+                s.startswith("layers") for s in pth),
         )
-        cfg = dataclasses.replace(cfg, quant_weights=True)
+        params = quantize_lm_head(params)
+        cfg = dataclasses.replace(cfg, quant_weights=True,
+                                  quant_lm_head=True)
         model = UniGPT(cfg)
 
     cache_size = tokens.shape[1] + args.max_new_tokens

@@ -285,6 +285,53 @@ class PagedDecoderLayer(nn.Module):
         return x, k_pool, v_pool, scale_pool
 
 
+class _ScanPagedLayer(nn.Module):
+    """nn.scan body for the serving stack (cfg.scan_layers): carry threads
+    (x, pools, scale_pool, layer_index); the pools are loop-carried buffers
+    so per-layer updates stay in place — same design as the generate-path
+    scan (core/transformer._ScanDecoderLayerKV). The layer-region offset
+    li*P becomes a traced value added to tables/bases/trash (all are
+    runtime operands of the kernels already)."""
+
+    cfg: TransformerConfig
+    pages_per_layer: int = 0
+    use_kernel: bool = True
+    chunk_pages: int = 8
+
+    @nn.compact
+    def __call__(self, carry, block_tables, lengths, n_valid, bases):
+        cfg = self.cfg
+        x, k_pool, v_pool, scale_pool, li = carry
+        assert cfg.normalize_before, "serving path assumes pre-LN"
+        off = li * self.pages_per_layer
+        residual = x
+        h = make_norm(cfg, "self_attn_layer_norm")(x)
+        sp = scale_pool if jnp.ndim(scale_pool) > 0 else None
+        h, k_pool, v_pool, sp = PagedSelfAttention(
+            cfg, use_kernel=self.use_kernel, name="self_attn")(
+            h, k_pool, v_pool, block_tables + off, lengths, n_valid,
+            trash_page=off,
+            bases=None if bases is None or jnp.ndim(bases) == 0
+            else bases + off,
+            chunk_pages=self.chunk_pages,
+            scale_pool=sp,
+        )
+        if sp is not None:
+            scale_pool = sp
+        x = residual + h
+        residual = x
+        h = make_norm(cfg, "final_layer_norm")(x)
+        from unilm_tpu.core.transformer import _build_ffn
+
+        ffn, is_moe = _build_ffn(cfg, 0)
+        if is_moe:
+            h, _aux = ffn(h, deterministic=True)
+            x = residual + h
+        else:
+            x = residual + ffn(h, deterministic=True)
+        return (x, k_pool, v_pool, scale_pool, li + 1), None
+
+
 class PagedDecoderStack(nn.Module):
     cfg: TransformerConfig
     pages_per_layer: int = 0
@@ -295,6 +342,35 @@ class PagedDecoderStack(nn.Module):
     def __call__(self, x, k_pool, v_pool, block_tables, lengths, n_valid,
                  bases=None, scale_pool=None):
         cfg = self.cfg
+        if cfg.scan_layers:
+            # ONE lax.scan over stacked per-layer params (decode dispatch
+            # killer — the unrolled 24-layer step pays per-op scheduling
+            # gaps; see core/config.py scan_layers). Params convert from a
+            # looped tree with models.kosmos.stack_unigpt_params.
+            assert cfg.moe_freq == 0, "scan_layers serving: dense layers"
+            scan_cls = nn.scan(
+                _ScanPagedLayer,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=nn.broadcast,
+                length=cfg.num_layers,
+            )
+            spv = (scale_pool if scale_pool is not None
+                   else jnp.zeros((), jnp.float32))
+            carry = (x, k_pool, v_pool, spv, jnp.zeros((), jnp.int32))
+            carry, _ = scan_cls(
+                cfg, pages_per_layer=self.pages_per_layer,
+                use_kernel=self.use_kernel, chunk_pages=self.chunk_pages,
+                name="layers",
+            )(carry, block_tables, lengths, n_valid,
+              bases if bases is not None else jnp.zeros((), jnp.int32))
+            x, k_pool, v_pool, spv, _ = carry
+            if scale_pool is not None:
+                scale_pool = spv
+            if cfg.normalize_before:
+                x = make_norm(cfg, "layer_norm")(x)
+            return x, k_pool, v_pool, scale_pool
+
         for i in range(cfg.num_layers):
             x, k_pool, v_pool, scale_pool = PagedDecoderLayer(
                 cfg, layer_idx=i, pages_per_layer=self.pages_per_layer,
@@ -475,6 +551,14 @@ class ServingEngine:
 
     def __init__(self, cfg: UniGPTConfig, scfg: ServingConfig, params,
                  mesh=None):
+        if cfg.scan_layers:
+            # single-chip decode optimization (the TP mesh path keeps the
+            # looped stack: infer_param_shardings rules are per-layer)
+            assert mesh is None, "scan_layers serving is single-chip"
+            if "layers_0" in params.get("decoder", {}):
+                from unilm_tpu.models.kosmos import stack_unigpt_params
+
+                params = stack_unigpt_params(dict(params), cfg.num_layers)
         if scfg.weight_dtype == "int8":
             # Weight-only int8: quantize every decoder-layer PROJECTION
             # kernel (per-output-channel scales). Embeddings, norms, MoE
@@ -492,7 +576,7 @@ class ServingEngine:
             params = quantize_dense_tree(
                 params,
                 predicate=lambda p: p[-2] in _PROJ and any(
-                    s.startswith("layers_") for s in p),
+                    s.startswith("layers") for s in p),
             )
             cfg = dataclasses.replace(cfg, quant_weights=True)
         self.cfg, self.scfg = cfg, scfg
