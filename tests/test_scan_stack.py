@@ -249,3 +249,73 @@ def test_scan_int8_kv_cache_close():
     _, c = pf(params, prompt, None)
     assert c["decoder"]["kv_pool_scale"].max() > 0
     assert c["decoder"]["kv_pool_key"].dtype == jnp.int8
+
+
+def test_scan_aggressive_decode_parity():
+    """GAD (draft-verify) drives the scanned stack's T>1 decode fallback
+    (multi-row scatter + gather attention) and the cache rewind; accepted
+    output must equal plain greedy on both stacks."""
+    from unilm_tpu.models.kosmos import (
+        UniGPT, UniGPTConfig, make_unigpt_generate_fns, stack_unigpt_params)
+    from unilm_tpu.runtime.generate import (
+        GenerationConfig, aggressive_generate, greedy_generate)
+
+    kw = dict(vocab_size=83, embed_dim=32, num_layers=3, num_heads=4,
+              ffn_dim=64, max_positions=128, use_flash=False)
+    m_loop = UniGPT(UniGPTConfig(**kw))
+    m_scan = UniGPT(UniGPTConfig(scan_layers=True, **kw))
+    prompt = jax.random.randint(jax.random.PRNGKey(3), (1, 5), 4, 80)
+    p_loop = m_loop.init(jax.random.PRNGKey(1), prompt)["params"]
+    p_scan = stack_unigpt_params(dict(p_loop), 3)
+    gcfg = GenerationConfig(beam_size=1, max_new_tokens=10, vocab_size=83,
+                            min_new_tokens=10, eos=2)
+
+    def draft(accepted, need):
+        # deliberately bad drafts half the time: forces partial accepts
+        return np.asarray([(int(t) * 7 + 3) % 80 + 3
+                           for t in accepted[-need:]], np.int32)
+
+    outs = {}
+    for name, m, p in (("loop", m_loop, p_loop), ("scan", m_scan, p_scan)):
+        pf, st = make_unigpt_generate_fns(m, cache_size=40)
+        toks, calls = aggressive_generate(
+            gcfg, pf, st, p, prompt, draft, block_size=4)
+        outs[name] = np.asarray(toks)
+        # oracle: GAD must be exact greedy
+        gt, _ = greedy_generate(gcfg, pf, st, p, prompt)
+        gt = np.asarray(gt)
+        n = min(outs[name].shape[1], gt.shape[1])
+        np.testing.assert_array_equal(outs[name][:, :n], gt[:, :n],
+                                      err_msg=name)
+    np.testing.assert_array_equal(outs["loop"], outs["scan"])
+
+
+def test_scan_diverse_beam_parity():
+    """Diverse beam over a scanned TrOCR: cross-KV no-tile fold + pool
+    gathers under the diverse-group selection match the looped stack."""
+    from unilm_tpu.models.trocr import (
+        TrOCRConfig, TrOCRModel, make_generate_fns, stack_trocr_params)
+    from unilm_tpu.runtime.generate import (
+        GenerationConfig, diverse_beam_generate)
+
+    kw = dict(img_size=32, patch_size=16, enc_dim=32, enc_layers=1,
+              enc_heads=2, enc_ffn=64, dec_dim=32, dec_layers=2, dec_heads=2,
+              dec_ffn=64, vocab_size=53, use_flash=False)
+    m_loop = TrOCRModel(TrOCRConfig(**kw))
+    m_scan = TrOCRModel(TrOCRConfig(scan_layers=True, **kw))
+    imgs = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    prompt = jnp.zeros((2, 1), jnp.int32)
+    p_loop = m_loop.init(jax.random.PRNGKey(1), imgs, prompt)["params"]
+    p_scan = stack_trocr_params(dict(p_loop), 2)
+    gcfg = GenerationConfig(beam_size=4, num_groups=2, max_new_tokens=5,
+                            vocab_size=53, min_new_tokens=3,
+                            diversity_strength=0.7)
+    out = {}
+    for name, m, p in (("loop", m_loop, p_loop), ("scan", m_scan, p_scan)):
+        enc = m.apply({"params": p}, imgs, method=m.encode)
+        pf, st = make_generate_fns(m, cache_size=8)
+        t, s = diverse_beam_generate(gcfg, pf, st, p, prompt, aux=enc)
+        out[name] = (np.asarray(t), np.asarray(s))
+    np.testing.assert_array_equal(out["loop"][0], out["scan"][0])
+    np.testing.assert_allclose(out["loop"][1], out["scan"][1],
+                               rtol=1e-5, atol=1e-5)
