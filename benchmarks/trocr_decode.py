@@ -36,6 +36,9 @@ def main():
     p.add_argument("--no_scan", action="store_true",
                    help="unrolled decoder loop (round-4 dispatch-bound "
                         "baseline) instead of the scanned stack")
+    p.add_argument("--int8", action="store_true",
+                   help="int8 weight-only decoder projections + output "
+                        "head (the bs=1 step is weight-stream-bound)")
     args = p.parse_args()
 
     from unilm_tpu.models.trocr import TrOCRModel, make_generate_fns, trocr_base
@@ -51,7 +54,12 @@ def main():
                           use_flash=False, scan_layers=not args.no_scan)
     else:
         cfg = trocr_base(dtype=jnp.bfloat16, scan_layers=not args.no_scan)
-    model = TrOCRModel(cfg)
+    base_model = TrOCRModel(cfg)
+    model = base_model
+    if args.int8:
+        import dataclasses
+
+        model = TrOCRModel(dataclasses.replace(cfg, quant_weights=True))
     cache = 2 + args.max_new_tokens
     prefill, step = make_generate_fns(model, cache_size=cache)
     gcfg = GenerationConfig(
@@ -66,9 +74,14 @@ def main():
             jax.random.PRNGKey(0), (B, cfg.img_size, cfg.img_size, 3),
             jnp.bfloat16)
         params = jax.jit(
-            lambda r: model.init(r, imgs, jnp.ones((B, 2), jnp.int32))["params"]
+            lambda r: base_model.init(
+                r, imgs, jnp.ones((B, 2), jnp.int32))["params"]
         )(jax.random.PRNGKey(1))
         jax.block_until_ready(params)
+        if args.int8:
+            from unilm_tpu.models.trocr import quantize_trocr_decoder
+
+            params = quantize_trocr_decoder(params)
 
         ITERS = 8  # amortize the ~30 ms tunnel round-trip inside one jit
 

@@ -319,3 +319,35 @@ def test_scan_diverse_beam_parity():
     np.testing.assert_array_equal(out["loop"][0], out["scan"][0])
     np.testing.assert_allclose(out["loop"][1], out["scan"][1],
                                rtol=1e-5, atol=1e-5)
+
+
+def test_scan_trocr_int8_weights_close():
+    """quantize_trocr_decoder: int8 decoder projections + output head on
+    the scanned stack; logits close to the fp reference."""
+    from unilm_tpu.models.trocr import (
+        TrOCRConfig, TrOCRModel, make_generate_fns, quantize_trocr_decoder,
+        stack_trocr_params)
+
+    kw = dict(img_size=32, patch_size=16, enc_dim=32, enc_layers=1,
+              enc_heads=2, enc_ffn=64, dec_dim=32, dec_layers=2, dec_heads=2,
+              dec_ffn=64, vocab_size=61, use_flash=False)
+    m_ref = TrOCRModel(TrOCRConfig(scan_layers=True, **kw))
+    m_q = TrOCRModel(TrOCRConfig(scan_layers=True, quant_weights=True, **kw))
+    imgs = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    prompt = jnp.zeros((2, 1), jnp.int32)
+    p_loop = TrOCRModel(TrOCRConfig(**kw)).init(
+        jax.random.PRNGKey(1), imgs, prompt)["params"]
+    p_ref = stack_trocr_params(dict(p_loop), 2)
+    p_q = quantize_trocr_decoder(p_ref)
+    # encoder stays full precision: same params work for encode
+    outs = {}
+    for name, m, p in (("ref", m_ref, p_ref), ("q", m_q, p_q)):
+        enc = m.apply({"params": p}, imgs, method=m.encode)
+        pf, st = make_generate_fns(m, cache_size=8)
+        lg, c = pf(p, prompt, enc)
+        lg2, _ = st(p, prompt[:, -1:], c, None)
+        outs[name] = (np.asarray(lg), np.asarray(lg2))
+    np.testing.assert_allclose(outs["ref"][0], outs["q"][0],
+                               rtol=0.1, atol=0.15)
+    np.testing.assert_allclose(outs["ref"][1], outs["q"][1],
+                               rtol=0.1, atol=0.15)

@@ -58,6 +58,9 @@ class TrOCRConfig:
     scan_layers: bool = False  # scan the DECODER stack (decode dispatch
     # killer — core/config.py scan_layers); the encoder keeps its loop
     # (one big prefill call, dispatch already amortized)
+    quant_weights: bool = False  # int8 weight-only DECODER projections +
+    # output head (conversion-only: quantize_trocr_decoder). bs=1 decode
+    # is weight-stream-bound; the encoder stays full precision.
 
     def encoder_cfg(self) -> TransformerConfig:
         return TransformerConfig(
@@ -73,7 +76,7 @@ class TrOCRConfig:
             normalize_before=self.normalize_before, layernorm_eps=self.dec_eps,
             activation=self.activation, is_encoder_decoder=True,
             dtype=self.dtype, use_flash=self.use_flash, dropout=self.dropout,
-            scan_layers=self.scan_layers,
+            scan_layers=self.scan_layers, quant_weights=self.quant_weights,
         )
 
     @property
@@ -170,6 +173,14 @@ class TrOCRDecoder(nn.Module):
             return x
         if cfg.share_input_output_embed:
             logits = embed.attend(x)
+        elif cfg.quant_weights:
+            from unilm_tpu.ops.quant import QuantDense
+
+            # int8 head (use_kernel=False: the XLA dequant-dot runs at the
+            # int8 stream roofline even at tiny M — see core/layers)
+            logits = QuantDense(cfg.vocab_size, use_bias=False,
+                                dtype=tcfg.dtype, use_kernel=False,
+                                name="output_projection")(x)
         else:
             # dtype follows the compute dtype: flax's default promotion would
             # run the [*,1024]x[1024,50k] head in fp32 (~8x MXU cost in bf16)
@@ -210,6 +221,25 @@ class TrOCRModel(nn.Module):
         enc = self.encode(images, deterministic)
         return self.text_decoder(prev_tokens, enc, deterministic=deterministic,
                                  return_features=return_features)
+
+
+def quantize_trocr_decoder(params: dict) -> dict:
+    """Conversion for TrOCRConfig(quant_weights=True): int8 weight-only
+    projections in the TEXT decoder (self/cross attention + FFN kernels)
+    plus the output head; the ViT encoder, embeddings and norms stay full
+    precision. Works on looped or stacked (scan_layers) trees."""
+    from unilm_tpu.ops.quant import quantize_dense_tree
+
+    _PROJ = {"q_proj", "k_proj", "v_proj", "out_proj", "fc1", "fc2", "fc3"}
+
+    def pred(pth):
+        if "text_decoder" not in pth:
+            return False
+        if pth[-2] == "output_projection":
+            return True
+        return pth[-2] in _PROJ and any(s.startswith("layers") for s in pth)
+
+    return quantize_dense_tree(params, predicate=pred)
 
 
 def stack_trocr_params(params: dict, num_layers: int) -> dict:
