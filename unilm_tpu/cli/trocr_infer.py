@@ -51,9 +51,15 @@ def main():
     p.add_argument("--bos", type=int, default=2)
     p.add_argument("--eos", type=int, default=2)
     p.add_argument("--pad", type=int, default=1)
+    p.add_argument("--no_scan", action="store_true",
+                   help="unrolled decoder loop instead of the scanned "
+                        "stack (PERFORMANCE.md: 2.6x at bs=1 beam-5)")
+    p.add_argument("--int8", action="store_true",
+                   help="int8 weight-only decoder projections + output "
+                        "head (models.trocr.quantize_trocr_decoder)")
     args = p.parse_args()
 
-    cfg = getattr(trocr_models, args.arch)()
+    cfg = getattr(trocr_models, args.arch)(scan_layers=not args.no_scan)
     model = TrOCRModel(cfg)
 
     if args.checkpoint:
@@ -70,6 +76,20 @@ def main():
         params = model.init(
             jax.random.PRNGKey(0), dummy_img, jnp.zeros((1, 2), jnp.int32)
         )["params"]
+
+    if cfg.scan_layers and f"layers_{cfg.dec_layers - 1}" in (
+            params.get("text_decoder", {}).get("decoder", {})):
+        # converted/looped checkpoint -> stacked scan tree
+        from unilm_tpu.models.trocr import stack_trocr_params
+
+        params = stack_trocr_params(dict(params), cfg.dec_layers)
+    if args.int8:
+        import dataclasses
+
+        from unilm_tpu.models.trocr import quantize_trocr_decoder
+
+        params = quantize_trocr_decoder(params)
+        model = TrOCRModel(dataclasses.replace(cfg, quant_weights=True))
 
     paths = (
         [args.image]
