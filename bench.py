@@ -344,7 +344,27 @@ def bench_train(on_tpu: bool):
 
 
 def main():
+    # Fail fast if the axon tunnel is wedged: backend init then hangs
+    # indefinitely inside make_c_api_client (a killed client can leave the
+    # TPU grant unreleased). Better a clear error line + nonzero exit than
+    # a silent driver timeout. Normal first init is ~10-30 s.
+    import os as _os
+    import threading as _threading
+
+    def _init_timed_out():
+        print(json.dumps({
+            "metric": "backend-init",
+            "error": "TPU backend init exceeded 300s — axon tunnel likely "
+                     "wedged (see PERFORMANCE.md machine notes); no "
+                     "benchmarks were run",
+        }), flush=True)
+        _os._exit(3)
+
+    _watchdog = _threading.Timer(300.0, _init_timed_out)
+    _watchdog.daemon = True
+    _watchdog.start()
     on_tpu = jax.default_backend() == "tpu"
+    _watchdog.cancel()
     batch = 128 if on_tpu else 8
     iters = 20 if on_tpu else 2
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
