@@ -67,7 +67,8 @@ def _run_modes(cfg_loop, cfg_scan, has_cross=False, seed=0):
     cl, cs = vl["cache"], vs["cache"]
     for step in range(3):
         xt = jax.random.normal(jax.random.fold_in(rng, 10 + step), (B, 1, E))
-        yl, vl = loop.apply({"params": p_loop, "cache": cl}, xt, None if has_cross else None,
+        # decode passes encoder_out=None: cross K/V come from the cache
+        yl, vl = loop.apply({"params": p_loop, "cache": cl}, xt, None,
                             mode="decode", cache_size=cache_size, mutable=["cache"])
         ys, vs = scan.apply({"params": p_scan, "cache": cs}, xt, None,
                             mode="decode", cache_size=cache_size, mutable=["cache"])

@@ -57,7 +57,7 @@ def main(argv=None):
     p.add_argument("--max_new_tokens", type=int, default=1024)
     p.add_argument("--beam", type=int, default=1)
     p.add_argument("--int8", action="store_true",
-                   help="int8 weight-only decoder projections (ops/quant.py):"
+                   help="fast lossy mode: int8 decoder projections + LM head + KV (ops/quant.py):"
                         " halves the bs=1 decode weight stream, the"
                         " interactive-demo hot path (kosmos-2.5/inference.py)")
     p.add_argument("--max_patches", type=int, default=4096)
@@ -128,15 +128,15 @@ def build_pipeline(args):
         )(jax.random.PRNGKey(0))
 
     if not getattr(args, "no_scan", False):
-        # scanned decoder stack + int8 KV: the round-5 interactive decode
-        # path (2.53 ms/token at 2k ctx with --int8; PERFORMANCE.md)
+        # scanned decoder stack (exact vs the looped stack —
+        # tests/test_scan_stack.py); int8 KV joins only under --int8, the
+        # explicitly lossy fast mode
         import dataclasses
 
         from unilm_tpu.models.kosmos import stack_unigpt_params
 
         params = stack_unigpt_params(dict(params), cfg.num_layers)
-        cfg = dataclasses.replace(cfg, scan_layers=True,
-                                  kv_cache_dtype="int8")
+        cfg = dataclasses.replace(cfg, scan_layers=True)
         model = UniGPT(cfg)
 
     if getattr(args, "int8", False):
@@ -154,8 +154,9 @@ def build_pipeline(args):
                 s.startswith("layers") for s in pth),
         )
         params = quantize_lm_head(params)
-        cfg = dataclasses.replace(cfg, quant_weights=True,
-                                  quant_lm_head=True)
+        cfg = dataclasses.replace(
+            cfg, quant_weights=True, quant_lm_head=True,
+            kv_cache_dtype="int8" if cfg.scan_layers else cfg.kv_cache_dtype)
         model = UniGPT(cfg)
 
     cache_size = tokens.shape[1] + args.max_new_tokens

@@ -417,7 +417,11 @@ class _ScanSelfAttention(nn.Module):
 
             if (T == 1 and attn_bias is None and key_padding_mask is None
                     and fa_on_tpu()
-                    and kernel_supported(H, D, page, k_pool.dtype)):
+                    and kernel_supported(H, D, page, k_pool.dtype)
+                    # int8 sidecar blocks are [1, 8, chunk*page]: the lane
+                    # dim must be tile-legal (short-cache geometry is
+                    # chunk*page=32 — XLA fallback there)
+                    and (not quantized or self.chunk * page >= 128)):
                 LPP = k_pool.shape[1]
                 kp3 = k_pool.reshape(B * LPP, page, H * D)
                 vp3 = v_pool.reshape(B * LPP, page, H * D)
@@ -470,6 +474,14 @@ class _ScanSelfAttention(nn.Module):
                             + [(0, padn)])
                     else:
                         attn_bias = attn_bias[..., :PP * page]
+                if (key_padding_mask is not None
+                        and key_padding_mask.shape[-1] != PP * page):
+                    # caller's mask covers cache_size keys; pad the
+                    # chunk-rounded tail as INVALID (kv_len masks it too)
+                    key_padding_mask = jnp.pad(
+                        key_padding_mask,
+                        [(0, 0)] * (key_padding_mask.ndim - 1)
+                        + [(0, PP * page - key_padding_mask.shape[-1])])
                 out = attention(
                     q, kk, vv, bias=attn_bias,
                     key_padding_mask=key_padding_mask, scale=scale,

@@ -521,13 +521,18 @@ class UniGPT(nn.Module):
 
 def quantize_lm_head(params: dict) -> dict:
     """Conversion for UniGPTConfig(quant_lm_head=True): build the int8
-    output projection from the tied embedding (emb.T, per-vocab-column
-    scales). The embedding itself stays full precision for the lookup."""
+    output head from whichever head the model actually uses — the real
+    `output_projection` when the head is untied, else the tied embedding
+    (emb.T); per-vocab-column scales either way. The embedding itself
+    stays full precision for the lookup."""
     from unilm_tpu.ops.quant import quantize_int8
 
     out = dict(params)
-    emb = out["embed_tokens"]["embedding"]
-    wi, scale = quantize_int8(jnp.asarray(emb).T, axis=0)
+    if "output_projection" in out:
+        w = jnp.asarray(out["output_projection"]["kernel"])  # [E, V]
+    else:
+        w = jnp.asarray(out["embed_tokens"]["embedding"]).T  # [E, V]
+    wi, scale = quantize_int8(w, axis=0)
     out["lm_head_q"] = {"kernel_i8": wi, "scale": scale}
     return out
 

@@ -380,7 +380,7 @@ class LayoutLMv3Model(nn.Module):
             # compute dtype: hardcoded bf16 silently deviated from the
             # reference's f32 bias math in exact-parity (f32) runs
             # (round-4 advisor finding).
-            bias_dt = jnp.bfloat16 if cfg.dtype == jnp.bfloat16 else cfg.dtype
+            bias_dt = cfg.dtype
             dense = jax.lax.stop_gradient(
                 materialize_bias(sym, bias_dt, layout="hbts"))
             if dense.shape[1] == 1 and Bq > 1:

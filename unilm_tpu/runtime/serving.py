@@ -323,12 +323,9 @@ class _ScanPagedLayer(nn.Module):
         h = make_norm(cfg, "final_layer_norm")(x)
         from unilm_tpu.core.transformer import _build_ffn
 
-        ffn, is_moe = _build_ffn(cfg, 0)
-        if is_moe:
-            h, _aux = ffn(h, deterministic=True)
-            x = residual + h
-        else:
-            x = residual + ffn(h, deterministic=True)
+        # dense only (the scan_layers dispatch asserts moe_freq == 0)
+        ffn, _ = _build_ffn(cfg, 0)
+        x = residual + ffn(h, deterministic=True)
         return (x, k_pool, v_pool, scale_pool, li + 1), None
 
 
