@@ -604,11 +604,11 @@ def diverse_beam_generate(
             lp_g = lp[:, idx_g] - cfg.diversity_strength * div[:, None, :]
             cand = alive_scores[:, idx_g, None] + lp_g  # [B, Kg, V]
             cand_true = alive_scores[:, idx_g, None] + lp[:, idx_g]
-            top_pen, top_idx = jax.lax.top_k(cand.reshape(B, Kg * V), 2 * Kg)
-            beam_g = top_idx // V  # within group
-            tok_g = top_idx % V
+            # exact two-stage top-k (see _topk_over_beams: one flattened
+            # [Kg*V] TopK row is the slow path on TPU)
+            top_pen, beam_g, tok_g = _topk_over_beams(cand, 2 * Kg)
             true_scores = jnp.take_along_axis(
-                cand_true.reshape(B, Kg * V), top_idx, axis=1)
+                cand_true.reshape(B, Kg * V), beam_g * V + tok_g, axis=1)
             src = idx_g[beam_g]  # global beam row
             is_eos = tok_g == cfg.eos
             # finalize this group's eos candidates into the SHARED pool
@@ -828,9 +828,7 @@ def constrained_beam_generate(
             jnp.where(met, lp[:, :, cfg.eos], NEG_INF))
 
         cand = alive_scores[:, :, None] + lp  # [B, K, V]
-        top_scores, top_idx = jax.lax.top_k(cand.reshape(B, K * V), 2 * K)
-        beam_idx = top_idx // V
-        tok_idx = top_idx % V
+        top_scores, beam_idx, tok_idx = _topk_over_beams(cand, 2 * K)
 
         # forced advance candidates: each beam's next unmet constraint token
         pj = jnp.clip(progress, 0, C - 1)
