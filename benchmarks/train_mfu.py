@@ -140,6 +140,7 @@ def bench_gpt(args):
               remat=not args.no_remat, remat_policy=args.remat_policy,
               param_dtype=(jnp.bfloat16 if args.param_dtype == "bf16"
                            else jnp.float32),
+              scan_layers=getattr(args, "scan", False),
               image_tower=None, max_positions=max(T + 2, 2050))
     if args.tiny:  # CPU smoke config (harness check, not a measurement)
         kw.update(embed_dim=64, num_layers=2, num_heads=4, ffn_dim=128,
@@ -874,6 +875,9 @@ def main():
     p.add_argument("--breakdown", action="store_true",
                    help="also time fwd-only and fwd+bwd per microbatch "
                         "(gpt workload)")
+    p.add_argument("--scan", action="store_true",
+                   help="scan_layers train path (one lax.scan over stacked "
+                        "params; grad-parity tested in tests/test_scan_stack)")
     p.add_argument("--no_remat", action="store_true",
                    help="store activations instead of rematerializing")
     p.add_argument("--remat_policy", default="full", choices=["full", "dots"],

@@ -352,3 +352,65 @@ def test_scan_trocr_int8_weights_close():
                                rtol=0.1, atol=0.15)
     np.testing.assert_allclose(outs["ref"][1], outs["q"][1],
                                rtol=0.1, atol=0.15)
+
+
+def test_scan_train_grad_parity():
+    """Train mode through the scanned stack: full grad tree matches the
+    looped stack on the same (converted) params — the contract for
+    training the 1.3B bench config with scan_layers."""
+    from unilm_tpu.models.kosmos import UniGPT, UniGPTConfig, stack_unigpt_params
+    from unilm_tpu.runtime.train import cross_entropy_loss
+
+    kw = dict(vocab_size=89, embed_dim=32, num_layers=3, num_heads=4,
+              ffn_dim=64, max_positions=64, use_flash=False,
+              subln=True, xpos_rel_pos=True)
+    m_loop = UniGPT(UniGPTConfig(**kw))
+    m_scan = UniGPT(UniGPTConfig(scan_layers=True, **kw))
+    tokens = jax.random.randint(jax.random.PRNGKey(0), (2, 12), 4, 80)
+    p_loop = m_loop.init(jax.random.PRNGKey(1), tokens)["params"]
+    p_scan = stack_unigpt_params(dict(p_loop), 3)
+
+    def loss(m):
+        def f(p):
+            lg = m.apply({"params": p}, tokens)
+            s, n = cross_entropy_loss(lg[:, :-1], tokens[:, 1:])
+            return s / n
+        return f
+
+    l_loop, g_loop = jax.value_and_grad(loss(m_loop))(p_loop)
+    l_scan, g_scan = jax.value_and_grad(loss(m_scan))(p_scan)
+    np.testing.assert_allclose(float(l_loop), float(l_scan), rtol=1e-5)
+    # stack the looped grads and compare leaf-by-leaf
+    g_loop_stacked = stack_unigpt_params(dict(g_loop), 3)
+    for (pa, a), b in zip(jax.tree_util.tree_leaves_with_path(g_loop_stacked),
+                          jax.tree.leaves(g_scan)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=2e-3, err_msg=str(pa))
+
+
+def test_scan_train_remat_grad_parity():
+    """remat + scan (the --checkpoint-activations training config):
+    gradients unchanged by rematerialization."""
+    from unilm_tpu.models.kosmos import UniGPT, UniGPTConfig, stack_unigpt_params
+    from unilm_tpu.runtime.train import cross_entropy_loss
+
+    kw = dict(vocab_size=89, embed_dim=32, num_layers=2, num_heads=4,
+              ffn_dim=64, max_positions=64, use_flash=False)
+    m_plain = UniGPT(UniGPTConfig(scan_layers=True, **kw))
+    m_remat = UniGPT(UniGPTConfig(scan_layers=True, remat=True, **kw))
+    tokens = jax.random.randint(jax.random.PRNGKey(0), (2, 10), 4, 80)
+    params = stack_unigpt_params(dict(
+        UniGPT(UniGPTConfig(**kw)).init(jax.random.PRNGKey(1), tokens)["params"]), 2)
+
+    def loss(m):
+        def f(p):
+            lg = m.apply({"params": p}, tokens)
+            s, n = cross_entropy_loss(lg[:, :-1], tokens[:, 1:])
+            return s / n
+        return f
+
+    g_a = jax.grad(loss(m_plain))(params)
+    g_b = jax.grad(loss(m_remat))(params)
+    for a, b in zip(jax.tree.leaves(g_a), jax.tree.leaves(g_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
