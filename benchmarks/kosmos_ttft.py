@@ -97,7 +97,11 @@ def main():
                 s.startswith("layers") for s in pth),
         )
         params = quantize_lm_head(params)
-        cfg = dataclasses.replace(cfg, quant_weights=True, quant_lm_head=True)
+        cfg = dataclasses.replace(
+            cfg, quant_weights=True, quant_lm_head=True,
+            # int8 KV joins the explicitly lossy mode (the bench.py line-4
+            # headline config); bf16 KV stays on the default scanned path
+            kv_cache_dtype="int8" if cfg.scan_layers else cfg.kv_cache_dtype)
         model = UniGPT(cfg)
         prefill, step = make_unigpt_generate_fns(model, cache_size=cache)
 
