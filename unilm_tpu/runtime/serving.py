@@ -8,6 +8,8 @@ serving story that ties our pieces together:
 - `PagedGPT`: a serving-mode twin of `models.kosmos.UniGPT`'s text path with
   an IDENTICAL param tree (embed_tokens / decoder / layers_i / self_attn /
   ffn ...), so any trained or converted UniGPT checkpoint serves unchanged.
+  With `cfg.scan_layers` the stack runs as ONE lax.scan over stacked
+  params (looped checkpoints auto-stacked by the engine; docs/DECODING.md).
   Self-attention reads/writes a vLLM-style paged pool (FLAT
   [L*pages, page, H*D] + per-slot block tables) instead of per-sequence
   contiguous caches: prefill scatters prompt KV into pages (XLA gather
