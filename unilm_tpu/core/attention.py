@@ -118,18 +118,23 @@ class MultiheadAttention(nn.Module):
                     cfg.scale_length, jnp.float32,
                 )
                 q = (q * qscale[None, :, None, None]).astype(q.dtype)
-            if attn_bias is not None or key_padding_mask is not None:
+            if attn_bias is not None:
                 raise NotImplementedError(
-                    "cfg.seq_axis (sequence-parallel ring attention) is "
-                    "LM-scope: additive biases / key-padding masks are not "
-                    "threaded through the ring chunks. Use the dense/flash "
-                    "path for ragged or biased encoder workloads "
+                    "cfg.seq_axis (sequence-parallel ring attention) does "
+                    "not thread ADDITIVE biases through the ring chunks "
+                    "(each traveling KV chunk would need its [T, S_chunk] "
+                    "bias slice in both ring passes). Key-padding masks ARE "
+                    "supported (the [B, Tl] shard rides the ring); biased "
+                    "workloads use the dense/flash path "
                     "(TransformerConfig.seq_axis docstring, COVERAGE.md "
                     "§2.9).")
             from unilm_tpu.parallel.ring_attention import ring_attention_flash
 
+            # key_padding_mask here is the LOCAL [B, Tl] shard (the module
+            # runs under shard_map with T split on seq_axis); it rotates
+            # the ring with its K/V chunk.
             out = ring_attention_flash(
-                q, k, v, cfg.seq_axis, causal,
+                q, k, v, key_padding_mask, cfg.seq_axis, causal,
                 self.scale if self.scale is not None else cfg.attn_scale,
                 cfg.flash_block_q, cfg.flash_block_k, not fa_on_tpu(),
             )

@@ -83,11 +83,12 @@ class TransformerConfig:
     # xPos uses global positions. The long-context training path
     # (LongNet/YOCO envelope) — lets a step whose activations exceed one
     # chip train across the ring. See parallel/long_context.py.
-    # SCOPE (COVERAGE.md §2.9): LM-style self-attention only — additive
-    # attention biases and key-padding masks are NOT threaded through the
-    # ring (each traveling KV chunk would need its mask/bias chunk in both
-    # ring passes). Packed full-block LM batches need neither; ragged
-    # long-document ENCODER workloads must stay on the dense/flash path.
+    # SCOPE (COVERAGE.md §2.9): self-attention, with or without a
+    # key-padding mask — the [B, Tl] kpm shard rotates the ring with its
+    # K/V chunk, so ragged long-document ENCODER workloads can use the seq
+    # axis too (round 5). ADDITIVE attention biases remain unsupported
+    # (each traveling chunk would need its [T, S_chunk] bias slice in both
+    # ring passes); biased workloads stay on the dense/flash path.
     seq_axis: Any = None  # Optional[str]
     window_size: int = 0  # sliding-window attention (0 = full)
     flash_block_q: int = 512

@@ -108,6 +108,16 @@ def ring_attention(
 # the blocks of the full-attention backward. dk/dv accumulators travel the
 # ring WITH their k/v chunks and arrive home after P hops.
 #
+# Key-padding masks (ragged long-document encoders on the seq axis): the
+# kpm shard travels the ring WITH its k/v chunk (one extra [B, Tl] i32
+# ppermute per hop) and feeds the flash kernels' per-key mask slot in both
+# ring passes. One wrinkle: the kernels emit the (out=0, lse=0) dead-row
+# sentinel when a query row sees no valid key in a call, but the online
+# merge needs lse=-inf for "this chunk contributed nothing" — chunk-dead
+# rows are computed exactly from the mask (any(kpm)==False) and their
+# (o_c, lse_c) forced to (0, -inf) before merging. The backward needs no
+# such guard: masked columns have p=0, so every cotangent block is 0.
+#
 # Chunk scheduling: step 0 is always the diagonal (own chunk, causal mask
 # with offset 0 — a STATIC kernel configuration); later steps are either
 # strictly-past (full visibility, causal=False) or strictly-future
@@ -131,7 +141,18 @@ def _merge(o, lse, o_c, lse_c, valid):
     return o, lse
 
 
-def _ring_fwd_impl(q, k, v, axis_name, causal, scale, block_q, block_k,
+def _chunk_dead_fix(o_c, lse_c, mask_c):
+    """Force (0, -inf) for rows whose ENTIRE traveling chunk is masked —
+    the kernel's (0, 0) dead-row sentinel would corrupt the online merge."""
+    if mask_c is None:
+        return o_c, lse_c
+    alive = jnp.any(mask_c != 0, axis=1)[:, None, None]  # [B, 1, 1]
+    lse_c = jnp.where(alive, lse_c, NEG_INF)
+    o_c = jnp.where(alive[..., None], o_c, 0.0)
+    return o_c, lse_c
+
+
+def _ring_fwd_impl(q, k, v, kpm, axis_name, causal, scale, block_q, block_k,
                    interpret):
     from unilm_tpu.ops import flash_attention as fa
 
@@ -141,6 +162,7 @@ def _ring_fwd_impl(q, k, v, axis_name, causal, scale, block_q, block_k,
     qt = (q * scale).swapaxes(1, 2)  # [B, H, Tl, D] pre-scaled
     kt = k.swapaxes(1, 2)
     vt = v.swapaxes(1, 2)
+    mask = None if kpm is None else kpm.astype(jnp.int32)  # [B, Tl] local
     zero = jnp.zeros((1,), jnp.int32)
     lim = jnp.full((1,), Tl, jnp.int32)
     bq = min(block_q, _cdiv8(Tl))
@@ -148,28 +170,39 @@ def _ring_fwd_impl(q, k, v, axis_name, causal, scale, block_q, block_k,
 
     # diagonal chunk: own k/v, static causal config
     o, lse = fa._flash_forward(
-        qt, kt, vt, None, None, zero, lim,
+        qt, kt, vt, None, mask, zero, lim,
         causal=causal, window=0, block_q=bq, block_k=bk, interpret=interpret)
-    o = o.astype(jnp.float32)
+    o, lse = _chunk_dead_fix(o.astype(jnp.float32), lse, mask)
 
     def body(carry, step):
-        o, lse, kc, vc = carry
-        kc = jax.lax.ppermute(kc, axis_name, [(i, (i + 1) % P) for i in range(P)])
-        vc = jax.lax.ppermute(vc, axis_name, [(i, (i + 1) % P) for i in range(P)])
+        if mask is None:
+            o, lse, kc, vc = carry
+            mc = None
+        else:
+            o, lse, kc, vc, mc = carry
+        perm = [(i, (i + 1) % P) for i in range(P)]
+        kc = jax.lax.ppermute(kc, axis_name, perm)
+        vc = jax.lax.ppermute(vc, axis_name, perm)
+        if mc is not None:
+            mc = jax.lax.ppermute(mc, axis_name, perm)
         k_idx = (my_idx - step) % P
         valid = jnp.logical_or(jnp.logical_not(causal), k_idx < my_idx)
         o_c, lse_c = fa._flash_forward(
-            qt, kc, vc, None, None, zero, lim,
+            qt, kc, vc, None, mc, zero, lim,
             causal=False, window=0, block_q=bq, block_k=bk,
             interpret=interpret)
-        o, lse = _merge(o, lse, o_c.astype(jnp.float32), lse_c, valid)
-        return (o, lse, kc, vc), None
+        o_c, lse_c = _chunk_dead_fix(o_c.astype(jnp.float32), lse_c, mc)
+        o, lse = _merge(o, lse, o_c, lse_c, valid)
+        carry = (o, lse, kc, vc) if mask is None else (o, lse, kc, vc, mc)
+        return carry, None
 
     if isinstance(P, int) and P == 1:
         steps = jnp.arange(0)
     else:
         steps = jnp.arange(1, P)
-    (o, lse, _, _), _ = jax.lax.scan(body, (o, lse, kt, vt), steps)
+    init = (o, lse, kt, vt) if mask is None else (o, lse, kt, vt, mask)
+    carry, _ = jax.lax.scan(body, init, steps)
+    o, lse = carry[0], carry[1]
     return o, lse  # [B, H, Tl, D] f32, [B, H, Tl] f32
 
 
@@ -177,36 +210,38 @@ def _cdiv8(n):
     return -(-n // 8) * 8
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
-def ring_attention_flash(q, k, v, axis_name, causal=False, scale=None,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def ring_attention_flash(q, k, v, kpm, axis_name, causal=False, scale=None,
                          block_q=512, block_k=512, interpret=False):
     """Sequence-parallel exact attention with flash kernels per chunk.
 
-    q/k/v: [B, Tl, H, D] local shards under shard_map over `axis_name`.
-    Returns [B, Tl, H, D]. Differentiable: the backward is a second ring
-    pass of flash-backward chunk kernels (see module comment)."""
+    q/k/v: [B, Tl, H, D] local shards under shard_map over `axis_name`;
+    kpm: optional [B, Tl] key-padding mask shard (bool/int, nonzero=valid
+    — rotates the ring with its k/v chunk). Returns [B, Tl, H, D].
+    Differentiable: the backward is a second ring pass of flash-backward
+    chunk kernels (see module comment)."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    o, _ = _ring_fwd_impl(q, k, v, axis_name, causal, scale, block_q,
+    o, _ = _ring_fwd_impl(q, k, v, kpm, axis_name, causal, scale, block_q,
                           block_k, interpret)
     return o.swapaxes(1, 2).astype(q.dtype)
 
 
-def _ring_flash_fwd(q, k, v, axis_name, causal, scale, block_q, block_k,
-                    interpret):
+def _ring_flash_fwd(q, k, v, kpm, axis_name, causal, scale, block_q,
+                    block_k, interpret):
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    o, lse = _ring_fwd_impl(q, k, v, axis_name, causal, scale, block_q,
+    o, lse = _ring_fwd_impl(q, k, v, kpm, axis_name, causal, scale, block_q,
                             block_k, interpret)
     out = o.swapaxes(1, 2).astype(q.dtype)
-    return out, (q, k, v, out, lse)
+    return out, (q, k, v, kpm, out, lse)
 
 
 def _ring_flash_bwd(axis_name, causal, scale, block_q, block_k, interpret,
                     res, g):
     from unilm_tpu.ops import flash_attention as fa
 
-    q, k, v, out, lse = res
+    q, k, v, kpm, out, lse = res
     if scale is None:
         scale = q.shape[-1] ** -0.5
     B, Tl, H, D = q.shape
@@ -217,44 +252,57 @@ def _ring_flash_bwd(axis_name, causal, scale, block_q, block_k, interpret,
     vt = v.swapaxes(1, 2)
     gt = g.swapaxes(1, 2)
     ot = out.swapaxes(1, 2)
+    mask = None if kpm is None else kpm.astype(jnp.int32)
     zero = jnp.zeros((1,), jnp.int32)
     lim = jnp.full((1,), Tl, jnp.int32)
     bq = min(block_q, _cdiv8(Tl))
     bk = min(block_k, _cdiv8(Tl))
 
-    # diagonal chunk
+    # diagonal chunk. Globally-dead query rows carry lse=-inf, but every
+    # one of their columns is mask-dropped in-kernel (p = where(keep, ...))
+    # so all their cotangent blocks are exactly 0 — no sanitization needed.
     dq, dk0, dv0, _ = fa._flash_backward_pallas(
-        qt, kt, vt, None, None, zero, lim, ot, lse, gt,
+        qt, kt, vt, None, mask, zero, lim, ot, lse, gt,
         causal=causal, window=0, block_q=bq, block_k=bk, interpret=interpret)
     dq = dq.astype(jnp.float32)
     dkt = dk0.astype(jnp.float32)
     dvt = dv0.astype(jnp.float32)
 
     def body(carry, step):
-        dq, kc, vc, dkc, dvc = carry
+        if mask is None:
+            dq, kc, vc, dkc, dvc = carry
+            mc = None
+        else:
+            dq, kc, vc, dkc, dvc, mc = carry
         perm = [(i, (i + 1) % P) for i in range(P)]
         kc = jax.lax.ppermute(kc, axis_name, perm)
         vc = jax.lax.ppermute(vc, axis_name, perm)
         dkc = jax.lax.ppermute(dkc, axis_name, perm)
         dvc = jax.lax.ppermute(dvc, axis_name, perm)
+        if mc is not None:
+            mc = jax.lax.ppermute(mc, axis_name, perm)
         k_idx = (my_idx - step) % P
         valid = jnp.logical_or(jnp.logical_not(causal), k_idx < my_idx)
         dq_c, dk_c, dv_c, _ = fa._flash_backward_pallas(
-            qt, kc, vc, None, None, zero, lim, ot, lse, gt,
+            qt, kc, vc, None, mc, zero, lim, ot, lse, gt,
             causal=False, window=0, block_q=bq, block_k=bk,
             interpret=interpret)
         vf = valid.astype(jnp.float32)
         dq = dq + dq_c.astype(jnp.float32) * vf
         dkc = dkc + dk_c.astype(jnp.float32) * vf
         dvc = dvc + dv_c.astype(jnp.float32) * vf
-        return (dq, kc, vc, dkc, dvc), None
+        carry = ((dq, kc, vc, dkc, dvc) if mask is None
+                 else (dq, kc, vc, dkc, dvc, mc))
+        return carry, None
 
     if isinstance(P, int) and P == 1:
         steps = jnp.arange(0)
     else:
         steps = jnp.arange(1, P)
-    (dq, kc, vc, dkt, dvt), _ = jax.lax.scan(
-        body, (dq, kt, vt, dkt, dvt), steps)
+    init = ((dq, kt, vt, dkt, dvt) if mask is None
+            else (dq, kt, vt, dkt, dvt, mask))
+    carry, _ = jax.lax.scan(body, init, steps)
+    dq, dkt, dvt = carry[0], carry[3], carry[4]
     # one final hop returns every accumulator to its chunk's home device
     perm = [(i, (i + 1) % P) for i in range(P)]
     dkt = jax.lax.ppermute(dkt, axis_name, perm)
@@ -263,7 +311,12 @@ def _ring_flash_bwd(axis_name, causal, scale, block_q, block_k, interpret,
     dq_out = (dq * scale).swapaxes(1, 2).astype(q.dtype)
     dk_out = dkt.swapaxes(1, 2).astype(k.dtype)
     dv_out = dvt.swapaxes(1, 2).astype(v.dtype)
-    return dq_out, dk_out, dv_out
+    # bool/int kpm primal takes a float0 cotangent
+    import numpy as _np
+
+    dkpm = (None if kpm is None
+            else _np.zeros(kpm.shape, jax.dtypes.float0))
+    return dq_out, dk_out, dv_out, dkpm
 
 
 ring_attention_flash.defvjp(_ring_flash_fwd, _ring_flash_bwd)
